@@ -1,0 +1,212 @@
+"""Multi-head attention with GQA/MQA, RoPE, additive biases, and a KV cache.
+
+TPU-native equivalent of pasero/models/modules.py:487-771. Differences by
+design:
+
+- the KV cache is a fixed-size buffer in a flax ``cache`` collection, written
+  with ``dynamic_update_slice`` at a scalar step index (static shapes for XLA;
+  the reference grows tensors dynamically, modules.py:621-641);
+- prompts are LEFT-padded at decode time so every row is aligned at the write
+  position; per-sample position offsets feed RoPE/ALiBi (the reference keeps
+  per-sample offsets too, modules.py:996-1013);
+- masks are boolean (True = attend) and biases additive float32, combined once
+  before the softmax; the causal/sliding-window structure is computed from
+  position indices instead of growing cached mask buffers (modules.py:664-674);
+- kernels: 'xla' (einsum softmax, supports returned weights) or 'flash'
+  (Pallas, pasero_tpu/ops/flash_attention.py) selected by ``kernel``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .modules import Linear
+from .positional import apply_rope
+
+Dtype = Any
+
+NEG_INF = -1e9  # large finite value: safe for padded rows (softmax of all -1e9 is uniform, masked later)
+
+
+def dot_product_attention(q, k, v, mask=None, bias=None, scale=1.0,
+                          dropout_rate=0.0, dropout_rng=None,
+                          return_weights=False):
+    """Plain XLA attention. q: (B,H,Sq,D), k/v: (B,H,Sk,D).
+    mask: bool (B,1|H,Sq,Sk) True=attend; bias: float (B,1|H,Sq,Sk)."""
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    if mask is not None:
+        scores = jnp.where(mask, scores, NEG_INF)
+    weights = jax.nn.softmax(scores, axis=-1)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
+        weights = weights * keep / (1.0 - dropout_rate)
+    out = jnp.einsum("bhqk,bhkd->bhqd", weights.astype(v.dtype), v)
+    if return_weights:
+        return out, weights
+    return out
+
+
+class MultiheadAttention(nn.Module):
+    num_heads: int
+    kv_heads: Optional[int] = None
+    use_bias: bool = True
+    key_bias: bool = True
+    scale_attn: bool = True
+    max_qkv: Optional[float] = None
+    sliding_window: Optional[int] = None
+    rope_base: Optional[float] = None        # set => apply RoPE to q/k
+    dropout: float = 0.0
+    causal: bool = False
+    cross_attention: bool = False
+    cache_len: int = 0                       # >0 enables the decode KV cache
+    kernel: str = "xla"                      # 'xla' | 'flash'
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        x_q: jnp.ndarray,                    # (B, Sq, E)
+        x_kv: Optional[jnp.ndarray] = None,  # (B, Sk, E) for cross-attention
+        mask: Optional[jnp.ndarray] = None,  # bool (B, 1, Sq, Sk) True=attend
+        bias: Optional[jnp.ndarray] = None,  # float (B, H|1, Sq, Sk)
+        positions: Optional[jnp.ndarray] = None,  # (B, Sq) absolute positions
+        kv_positions: Optional[jnp.ndarray] = None,
+        decode: bool = False,
+        deterministic: bool = True,
+        return_weights: bool = False,
+    ):
+        embed_dim = x_q.shape[-1]
+        num_heads = self.num_heads
+        kv_heads = self.kv_heads or num_heads
+        head_dim = embed_dim // num_heads
+        x_kv = x_q if x_kv is None else x_kv
+        B, Sq = x_q.shape[:2]
+
+        q = Linear(num_heads * head_dim, use_bias=self.use_bias, dtype=self.dtype,
+                   kernel_axes=("embed", "heads"), name="q_proj")(x_q)
+        k = Linear(kv_heads * head_dim, use_bias=self.use_bias and self.key_bias,
+                   dtype=self.dtype, kernel_axes=("embed", "heads"),
+                   name="k_proj")(x_kv)
+        v = Linear(kv_heads * head_dim, use_bias=self.use_bias, dtype=self.dtype,
+                   kernel_axes=("embed", "heads"), name="v_proj")(x_kv)
+
+        q = q.reshape(B, Sq, num_heads, head_dim).transpose(0, 2, 1, 3)
+        k = k.reshape(B, x_kv.shape[1], kv_heads, head_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(B, x_kv.shape[1], kv_heads, head_dim).transpose(0, 2, 1, 3)
+
+        if self.max_qkv is not None:  # MPT-65k stability clamp (modules.py:513-514)
+            q = jnp.clip(q, -self.max_qkv, self.max_qkv)
+            k = jnp.clip(k, -self.max_qkv, self.max_qkv)
+            v = jnp.clip(v, -self.max_qkv, self.max_qkv)
+
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(Sq)[None], (B, Sq))
+        if kv_positions is None:
+            kv_positions = positions if not self.cross_attention else \
+                jnp.broadcast_to(jnp.arange(x_kv.shape[1])[None], (B, x_kv.shape[1]))
+
+        if self.rope_base is not None and not self.cross_attention:
+            q = apply_rope(q, positions, self.rope_base)
+            k = apply_rope(k, kv_positions, self.rope_base)
+
+        if decode and self.cache_len > 0:
+            k, v, kv_positions, mask, bias = self._update_cache(
+                k, v, kv_positions, positions, mask, bias)
+
+        # causal / sliding-window structure from positions (no cached masks)
+        if self.causal and not decode:
+            causal = kv_positions[:, None, None, :] <= positions[:, None, :, None]
+            if self.sliding_window:
+                causal &= (positions[:, None, :, None] - kv_positions[:, None, None, :]
+                           ) < self.sliding_window
+            mask = causal if mask is None else (mask & causal)
+
+        scale = head_dim ** -0.5 if self.scale_attn else 1.0
+
+        if kv_heads != num_heads:
+            k = jnp.repeat(k, num_heads // kv_heads, axis=1)
+            v = jnp.repeat(v, num_heads // kv_heads, axis=1)
+
+        dropout_rng = None
+        if self.dropout > 0 and not deterministic:
+            dropout_rng = self.make_rng("dropout")
+
+        if self.kernel == "flash" and not return_weights and not decode:
+            from ..ops.flash_attention import flash_attention
+            out = flash_attention(q, k, v, mask=mask, bias=bias, scale=scale)
+            weights = None
+        else:
+            result = dot_product_attention(
+                q, k, v, mask=mask, bias=bias, scale=scale,
+                dropout_rate=self.dropout if not deterministic else 0.0,
+                dropout_rng=dropout_rng, return_weights=return_weights)
+            out, weights = result if return_weights else (result, None)
+
+        out = out.transpose(0, 2, 1, 3).reshape(B, Sq, num_heads * head_dim)
+        out = Linear(embed_dim, use_bias=self.use_bias, dtype=self.dtype,
+                     kernel_axes=("heads", "embed"), name="out_proj")(out)
+        if return_weights:
+            return out, weights
+        return out
+
+    def _update_cache(self, k, v, kv_positions, positions, mask, bias):
+        """Fixed-size ring-free cache: write current K/V at the step index.
+
+        Self-attention: append k/v at index, attend over [0, index+Sq).
+        Cross-attention: store encoder K/V once, reuse afterwards.
+        """
+        B, H, Sk, D = k.shape
+        cached_k = self.variable("cache", "cached_key",
+                                 jnp.zeros, (B, H, self.cache_len, D), self.dtype)
+        cached_v = self.variable("cache", "cached_value",
+                                 jnp.zeros, (B, H, self.cache_len, D), self.dtype)
+        index = self.variable("cache", "cache_index",
+                              lambda: jnp.zeros((), jnp.int32))
+        if self.cross_attention:
+            filled = self.variable("cache", "cross_filled",
+                                   lambda: jnp.zeros((), jnp.bool_))
+            # store once (first call writes, later calls reuse)
+            new_k = jnp.where(filled.value, cached_k.value,
+                              jax.lax.dynamic_update_slice(
+                                  cached_k.value, k, (0, 0, 0, 0)))
+            new_v = jnp.where(filled.value, cached_v.value,
+                              jax.lax.dynamic_update_slice(
+                                  cached_v.value, v, (0, 0, 0, 0)))
+            cached_k.value, cached_v.value = new_k, new_v
+            filled.value = jnp.ones((), jnp.bool_)
+            kv_pos = jnp.broadcast_to(jnp.arange(self.cache_len)[None],
+                                      (B, self.cache_len))
+            # mask/bias were computed for the raw encoder length; pad to cache_len
+            if mask is not None and mask.shape[-1] < self.cache_len:
+                pad = self.cache_len - mask.shape[-1]
+                mask = jnp.pad(mask, ((0, 0), (0, 0), (0, 0), (0, pad)))
+            if bias is not None and bias.shape[-1] < self.cache_len:
+                pad = self.cache_len - bias.shape[-1]
+                bias = jnp.pad(bias, ((0, 0), (0, 0), (0, 0), (0, pad)),
+                               constant_values=NEG_INF)
+            return new_k, new_v, kv_pos, mask, bias
+
+        i = index.value
+        cached_k.value = jax.lax.dynamic_update_slice(
+            cached_k.value, k, (0, 0, i, 0))
+        cached_v.value = jax.lax.dynamic_update_slice(
+            cached_v.value, v, (0, 0, i, 0))
+        index.value = i + Sk
+        slots = jnp.arange(self.cache_len)
+        valid = slots[None, :] < (i + Sk)                       # (1, L)
+        kv_pos = positions[:, -1:] - (i + Sk - 1) + slots[None]  # (B, L) absolute
+        causal = kv_pos[:, None, None, :] <= positions[:, None, :, None]
+        attend = causal & valid[:, None, None, :]
+        if self.sliding_window:
+            attend &= (positions[:, None, :, None] - kv_pos[:, None, None, :]
+                       ) < self.sliding_window
+        mask = attend if mask is None else (mask & attend)
+        return cached_k.value, cached_v.value, kv_pos, mask, bias

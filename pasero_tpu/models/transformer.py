@@ -1,0 +1,486 @@
+"""Transformer encoder-decoder / decoder-only model family.
+
+TPU-native re-design of pasero/models/transformer.py:106-1417. The model is a
+flax module tree; parameters carry logical sharding axes (see modules.py) and
+the forward is fully static-shape: padding masks come in as boolean arrays,
+the decoder KV cache is preallocated (attention.py), and losses are computed
+with a padding/prompt weight mask instead of dynamic filtering.
+
+Decoder-only models reuse TransformerDecoder without cross-attention
+(reference's DummyEncoder path, transformer.py:78-93).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..config import TransformerConfig
+from .attention import MultiheadAttention, NEG_INF
+from .modules import (AdapterLayer, ConvolutionSubsampler, Embedding,
+                      FeedForward, Linear, make_norm)
+from .positional import PositionalEmbedding, T5RelativeBias, alibi_bias
+
+Dtype = Any
+
+
+def positions_from_mask(pad_mask: jnp.ndarray, shift: int = 0) -> jnp.ndarray:
+    """Position ids that skip padding: cumsum over non-pad tokens - 1.
+
+    Works for both left- and right-padded batches; padded slots get position
+    of the previous real token (they are masked out of attention anyway).
+    """
+    pos = jnp.cumsum(pad_mask.astype(jnp.int32), axis=1) - 1
+    return jnp.maximum(pos, 0) + shift
+
+
+class TransformerEncoderLayer(nn.Module):
+    cfg: TransformerConfig
+    kernel: str = "xla"
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, mask=None, bias=None, positions=None,
+                 deterministic=True, return_weights=False):
+        cfg = self.cfg
+        attn = MultiheadAttention(
+            num_heads=cfg.encoder_attention_heads,
+            use_bias=cfg.has_bias, key_bias=cfg.attention_key_bias,
+            scale_attn=cfg.scale_attn, max_qkv=cfg.max_qkv,
+            rope_base=(cfg.rope_base
+                       if cfg.encoder_positional_encoding == "rotary" else None),
+            dropout=cfg.attention_dropout, causal=False,
+            kernel=self.kernel, dtype=self.dtype, name="self_attn")
+        norm1 = make_norm(cfg, self.dtype)
+        norm2 = norm1 if cfg.shared_norm else make_norm(cfg, self.dtype)
+        ffn = FeedForward(cfg.encoder_ffn_dim, activation=cfg.activation_fn,
+                          use_bias=cfg.has_bias, dropout=cfg.activation_dropout,
+                          lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
+                          dtype=self.dtype, name="ffn")
+        dropout = nn.Dropout(rate=cfg.dropout, deterministic=deterministic)
+
+        residual = x
+        h = norm1(x) if cfg.encoder_prenorm else x
+        result = attn(h, mask=mask, bias=bias, positions=positions,
+                      deterministic=deterministic, return_weights=return_weights)
+        attn_out, weights = result if return_weights else (result, None)
+
+        if cfg.parallel_attention:  # Falcon: FFN from the same normalized input
+            ffn_out = ffn(norm2(x) if cfg.encoder_prenorm else x,
+                          deterministic=deterministic)
+            x = residual + dropout(attn_out) + dropout(ffn_out)
+            if not cfg.encoder_prenorm:
+                x = norm1(x)
+        else:
+            x = residual + dropout(attn_out)
+            if not cfg.encoder_prenorm:
+                x = norm1(x)
+            residual = x
+            h = norm2(x) if cfg.encoder_prenorm else x
+            x = residual + dropout(ffn(h, deterministic=deterministic))
+            if not cfg.encoder_prenorm:
+                x = norm2(x)
+
+        if cfg.check_inf:  # T5 half-precision guard (modules.py:179-189)
+            x = jnp.nan_to_num(x, nan=0.0, posinf=6e4, neginf=-6e4)
+        return (x, weights) if return_weights else x
+
+
+class TransformerDecoderLayer(nn.Module):
+    cfg: TransformerConfig
+    has_cross_attention: bool = True
+    self_cache_len: int = 0
+    cross_cache_len: int = 0
+    kernel: str = "xla"
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, encoder_out=None, self_mask=None, cross_mask=None,
+                 self_bias=None, positions=None, encoder_positions=None,
+                 decode=False, deterministic=True, return_weights=False):
+        cfg = self.cfg
+        dropout_rate = cfg.decoder_dropout if cfg.decoder_dropout is not None else cfg.dropout
+        dropout = nn.Dropout(rate=dropout_rate, deterministic=deterministic)
+        self_attn = MultiheadAttention(
+            num_heads=cfg.decoder_attention_heads,
+            kv_heads=cfg.attention_heads_kv,
+            use_bias=cfg.has_bias, key_bias=cfg.attention_key_bias,
+            scale_attn=cfg.scale_attn, max_qkv=cfg.max_qkv,
+            sliding_window=cfg.sliding_window,
+            rope_base=(cfg.rope_base
+                       if cfg.decoder_positional_encoding == "rotary" else None),
+            dropout=cfg.attention_dropout, causal=True,
+            cache_len=self.self_cache_len, kernel=self.kernel,
+            dtype=self.dtype, name="self_attn")
+        norm1 = make_norm(cfg, self.dtype)
+        norm2 = norm1 if cfg.shared_norm else make_norm(cfg, self.dtype)
+        cross_weights = None
+
+        residual = x
+        h = norm1(x) if cfg.decoder_prenorm else x
+        result = self_attn(h, mask=self_mask, bias=self_bias, positions=positions,
+                           decode=decode, deterministic=deterministic,
+                           return_weights=return_weights)
+        attn_out, self_weights = result if return_weights else (result, None)
+
+        if cfg.parallel_attention:
+            ffn = FeedForward(cfg.decoder_ffn_dim, activation=cfg.activation_fn,
+                              use_bias=cfg.has_bias,
+                              dropout=cfg.activation_dropout,
+                              lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
+                              dtype=self.dtype, name="ffn")
+            ffn_out = ffn(norm2(x) if cfg.decoder_prenorm else x,
+                          deterministic=deterministic)
+            x = residual + dropout(attn_out) + dropout(ffn_out)
+            if not cfg.decoder_prenorm:
+                x = norm1(x)
+            if cfg.check_inf:
+                x = jnp.nan_to_num(x, nan=0.0, posinf=6e4, neginf=-6e4)
+            out = x
+            if return_weights:
+                return out, self_weights, cross_weights
+            return out
+
+        x = residual + dropout(attn_out)
+        if not cfg.decoder_prenorm:
+            x = norm1(x)
+
+        if self.has_cross_attention:
+            cross_norm = make_norm(cfg, self.dtype)
+            cross_attn = MultiheadAttention(
+                num_heads=cfg.decoder_attention_heads,
+                use_bias=cfg.has_bias, key_bias=cfg.attention_key_bias,
+                scale_attn=cfg.scale_attn, max_qkv=cfg.max_qkv,
+                dropout=cfg.attention_dropout, causal=False,
+                cross_attention=True, cache_len=self.cross_cache_len,
+                kernel=self.kernel, dtype=self.dtype, name="cross_attn")
+            residual = x
+            h = cross_norm(x) if cfg.decoder_prenorm else x
+            result = cross_attn(h, x_kv=encoder_out, mask=cross_mask,
+                                positions=positions,
+                                kv_positions=encoder_positions, decode=decode,
+                                deterministic=deterministic,
+                                return_weights=return_weights)
+            cross_out, cross_weights = result if return_weights else (result, None)
+            x = residual + dropout(cross_out)
+            if not cfg.decoder_prenorm:
+                x = cross_norm(x)
+
+        ffn = FeedForward(cfg.decoder_ffn_dim, activation=cfg.activation_fn,
+                          use_bias=cfg.has_bias, dropout=cfg.activation_dropout,
+                          lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
+                          dtype=self.dtype, name="ffn")
+        residual = x
+        h = norm2(x) if cfg.decoder_prenorm else x
+        x = residual + dropout(ffn(h, deterministic=deterministic))
+        if not cfg.decoder_prenorm:
+            x = norm2(x)
+        if cfg.check_inf:
+            x = jnp.nan_to_num(x, nan=0.0, posinf=6e4, neginf=-6e4)
+        if return_weights:
+            return x, self_weights, cross_weights
+        return x
+
+
+class TransformerEncoder(nn.Module):
+    cfg: TransformerConfig
+    vocab_size: int
+    kernel: str = "xla"
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, src_tokens, src_mask=None, deterministic=True,
+                 return_layers=False):
+        """src_tokens: (B, S) int ids OR (B, T, F) float features (speech).
+        src_mask: bool (B, S) True at real tokens."""
+        cfg = self.cfg
+        speech_input = src_tokens.ndim == 3
+
+        if speech_input:
+            lengths = (src_mask.sum(axis=1) if src_mask is not None
+                       else jnp.full((src_tokens.shape[0],), src_tokens.shape[1]))
+            x, lengths = ConvolutionSubsampler(
+                channels=cfg.conv_channels or cfg.conv_input_dim or cfg.input_dim,
+                kernel_sizes=cfg.conv_kernel_sizes or [],
+                strides=cfg.conv_strides or [2] * len(cfg.conv_kernel_sizes or []),
+                activation=cfg.conv_activation or "glu",
+                out_dim=cfg.embed_dim,
+                in_proj_dim=cfg.conv_input_dim,
+                dtype=self.dtype, name="subsampler")(src_tokens, lengths)
+            S = x.shape[1]
+            src_mask = jnp.arange(S)[None, :] < lengths[:, None]
+        else:
+            x = Embedding(self.vocab_size, cfg.embed_dim, dtype=self.dtype,
+                          name="embed_tokens")(src_tokens)
+            if src_mask is None:
+                src_mask = src_tokens != cfg.padding_idx
+
+        if cfg.scale_embed:
+            x = x * (cfg.embed_dim ** 0.5)
+
+        positions = positions_from_mask(src_mask)
+        pe = cfg.encoder_positional_encoding
+        if pe in ("sinusoidal", "learned"):
+            x = PositionalEmbedding(
+                kind=pe, max_len=cfg.encoder_max_len, dim=cfg.embed_dim,
+                shift=cfg.positional_encoding_shift, name="embed_positions",
+            )(x, positions)
+
+        if cfg.encoder_embed_norm:
+            x = make_norm(cfg, self.dtype)(x)
+        embed_dropout = cfg.embed_dropout if cfg.embed_dropout is not None else cfg.dropout
+        x = nn.Dropout(rate=embed_dropout, deterministic=deterministic)(x)
+
+        attn_mask = src_mask[:, None, None, :]  # keys validity
+        bias = None
+        if pe == "alibi":
+            bias = alibi_bias(cfg.encoder_attention_heads, positions, positions,
+                              max_bias=cfg.alibi_max_bias, causal=False)
+        elif pe == "t5":
+            bias = T5RelativeBias(cfg.encoder_attention_heads, bidirectional=True,
+                                  name="t5_bias")(positions, positions)
+
+        layer_outputs = []
+        for i in range(cfg.encoder_layers):
+            layer = TransformerEncoderLayer(cfg, kernel=self.kernel,
+                                            dtype=self.dtype, name=f"layers_{i}")
+            if cfg.checkpoint_activations and not return_layers:
+                layer = nn.remat(TransformerEncoderLayer, static_argnums=(4, 5))(
+                    cfg, kernel=self.kernel, dtype=self.dtype, name=f"layers_{i}")
+                x = layer(x, attn_mask, bias, positions, deterministic, False)
+            else:
+                x = layer(x, mask=attn_mask, bias=bias, positions=positions,
+                          deterministic=deterministic)
+            if return_layers:
+                layer_outputs.append(x)
+
+        if cfg.encoder_prenorm:
+            x = make_norm(cfg, self.dtype)(x)
+        if return_layers:
+            return x, src_mask, layer_outputs
+        return x, src_mask
+
+
+class TransformerDecoder(nn.Module):
+    cfg: TransformerConfig
+    vocab_size: int
+    has_encoder: bool = True
+    self_cache_len: int = 0
+    cross_cache_len: int = 0
+    kernel: str = "xla"
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, tokens, encoder_out=None, encoder_mask=None,
+                 tgt_mask=None, positions=None, decode=False,
+                 deterministic=True, return_layers=False, return_weights=False):
+        """tokens: (B, T) decoder input ids. Returns logits (B, T, V) float32."""
+        cfg = self.cfg
+        embed = Embedding(self.vocab_size, cfg.embed_dim, dtype=self.dtype,
+                          name="embed_tokens")
+        x = embed(tokens)
+        if cfg.scale_embed:
+            x = x * (cfg.embed_dim ** 0.5)
+
+        if tgt_mask is None:
+            tgt_mask = tokens != cfg.padding_idx
+        if positions is None:
+            positions = positions_from_mask(tgt_mask)
+
+        pe = cfg.decoder_positional_encoding
+        if pe in ("sinusoidal", "learned"):
+            x = PositionalEmbedding(
+                kind=pe, max_len=max(cfg.decoder_max_len, self.self_cache_len),
+                dim=cfg.embed_dim, shift=cfg.positional_encoding_shift,
+                name="embed_positions",
+            )(x, positions)
+
+        if cfg.decoder_embed_norm:
+            x = make_norm(cfg, self.dtype)(x)
+        embed_dropout = cfg.embed_dropout if cfg.embed_dropout is not None else cfg.dropout
+        x = nn.Dropout(rate=embed_dropout, deterministic=deterministic)(x)
+
+        B, T = tokens.shape
+        if decode:
+            self_mask = None  # built inside the cache update from positions
+        else:
+            self_mask = tgt_mask[:, None, None, :]
+
+        self_bias = None
+        if pe == "alibi":
+            if decode:
+                # distances to cache slots: slot j holds absolute position
+                # pos_last - (index + T - 1) + j; since ALiBi only depends on
+                # the distance, compute it from the running cache index
+                L = self.self_cache_len
+                idx = self.get_variable("cache", "alibi_step")                     if self.has_variable("cache", "alibi_step") else None
+                step_var = self.variable("cache", "alibi_step",
+                                         lambda: jnp.zeros((), jnp.int32))
+                i = step_var.value
+                slots = jnp.arange(L)[None, :]                       # (1, L)
+                kv_pos = positions[:, -1:] - (i + T - 1) + slots      # (B, L)
+                self_bias = alibi_bias(cfg.decoder_attention_heads, positions,
+                                       kv_pos, max_bias=cfg.alibi_max_bias,
+                                       causal=True)
+                step_var.value = i + T
+            else:
+                self_bias = alibi_bias(cfg.decoder_attention_heads, positions,
+                                       positions, max_bias=cfg.alibi_max_bias,
+                                       causal=True)
+        elif pe == "t5":
+            self_bias = T5RelativeBias(cfg.decoder_attention_heads,
+                                       bidirectional=False, name="t5_bias"
+                                       )(positions, positions)
+
+        cross_mask = None
+        encoder_positions = None
+        if self.has_encoder and encoder_out is not None:
+            if encoder_mask is not None:
+                cross_mask = encoder_mask[:, None, None, :]
+            encoder_positions = positions_from_mask(encoder_mask) \
+                if encoder_mask is not None else None
+
+        layer_outputs, self_attn_maps, cross_attn_maps = [], [], []
+        for i in range(cfg.decoder_layers):
+            layer_cls = TransformerDecoderLayer
+            layer = layer_cls(cfg, has_cross_attention=self.has_encoder,
+                              self_cache_len=self.self_cache_len,
+                              cross_cache_len=self.cross_cache_len,
+                              kernel=self.kernel, dtype=self.dtype,
+                              name=f"layers_{i}")
+            if cfg.checkpoint_activations and not decode and not return_weights:
+                layer = nn.remat(layer_cls, static_argnums=(7, 8, 9))(
+                    cfg, has_cross_attention=self.has_encoder,
+                    self_cache_len=self.self_cache_len,
+                    cross_cache_len=self.cross_cache_len,
+                    kernel=self.kernel, dtype=self.dtype, name=f"layers_{i}")
+            result = layer(x, encoder_out=encoder_out, self_mask=self_mask,
+                           cross_mask=cross_mask, self_bias=self_bias,
+                           positions=positions,
+                           encoder_positions=encoder_positions, decode=decode,
+                           deterministic=deterministic,
+                           return_weights=return_weights)
+            if return_weights:
+                x, sw, cw = result
+                self_attn_maps.append(sw)
+                cross_attn_maps.append(cw)
+            else:
+                x = result
+            if return_layers:
+                layer_outputs.append(x)
+
+        if cfg.decoder_prenorm:
+            x = make_norm(cfg, self.dtype)(x)
+
+        if cfg.tied_output_projection:
+            logits = embed.attend(x)
+        else:
+            logits = Linear(self.vocab_size, use_bias=False, dtype=self.dtype,
+                            kernel_axes=("embed", "vocab"),
+                            name="output_projection")(x)
+        logits = logits.astype(jnp.float32)
+
+        extras = {}
+        if return_layers:
+            extras["layers"] = layer_outputs
+        if return_weights:
+            extras["self_attn"] = self_attn_maps
+            extras["cross_attn"] = cross_attn_maps
+        if extras:
+            return logits, extras
+        return logits
+
+
+def cross_entropy_loss(logits, targets, weights, label_smoothing=0.0):
+    """Summed CE with label smoothing; normalization by token count happens in
+    the trainer against the GLOBAL batch size (reference training.py:455-470).
+
+    logits: (B, T, V) f32; targets: (B, T) int; weights: (B, T) f32 mask/scale.
+    Returns (loss_sum, nll_sum, weight_sum).
+    """
+    vocab = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    if label_smoothing > 0:
+        smooth = -jnp.mean(logp, axis=-1)
+        loss = (1.0 - label_smoothing) * nll + label_smoothing * smooth
+    else:
+        loss = nll
+    loss_sum = jnp.sum(loss * weights)
+    nll_sum = jnp.sum(nll * weights)
+    return loss_sum, nll_sum, jnp.sum(weights)
+
+
+class Transformer(nn.Module):
+    """Full model: encode → decode → loss (pasero/models/transformer.py:106-380).
+
+    Batch convention (matches the reference collater):
+      src_tokens (B, S) or features (B, T, F); decoder_input (B, T) starting
+      with BOS; targets = decoder_input shifted left with EOS appended;
+      prompt_mask (B, T) True at prompt positions (loss scaled by prompt_loss).
+    """
+
+    cfg: TransformerConfig
+    src_vocab_size: int
+    tgt_vocab_size: Optional[int] = None
+    self_cache_len: int = 0
+    cross_cache_len: int = 0
+    kernel: str = "xla"
+    dtype: Dtype = jnp.bfloat16
+
+    def setup(self):
+        cfg = self.cfg
+        tgt_vocab = self.tgt_vocab_size or self.src_vocab_size
+        self.is_encoder_decoder = cfg.model_type != "decoder"
+        if self.is_encoder_decoder:
+            self.encoder = TransformerEncoder(
+                cfg, vocab_size=self.src_vocab_size, kernel=self.kernel,
+                dtype=self.dtype)
+        self.decoder = TransformerDecoder(
+            cfg, vocab_size=tgt_vocab, has_encoder=self.is_encoder_decoder,
+            self_cache_len=self.self_cache_len,
+            cross_cache_len=self.cross_cache_len, kernel=self.kernel,
+            dtype=self.dtype)
+
+    def encode(self, src_tokens, src_mask=None, deterministic=True):
+        return self.encoder(src_tokens, src_mask=src_mask,
+                            deterministic=deterministic)
+
+    def decode_step(self, tokens, encoder_out=None, encoder_mask=None,
+                    positions=None, tgt_mask=None):
+        """Single incremental decoding call (updates the 'cache' collection)."""
+        return self.decoder(tokens, encoder_out=encoder_out,
+                            encoder_mask=encoder_mask, positions=positions,
+                            tgt_mask=tgt_mask, decode=True, deterministic=True)
+
+    def __call__(self, src_tokens=None, src_mask=None, decoder_input=None,
+                 targets=None, prompt_mask=None, deterministic=True,
+                 return_layers=False, return_weights=False):
+        cfg = self.cfg
+        encoder_out = encoder_mask = None
+        if self.is_encoder_decoder:
+            encoder_out, encoder_mask = self.encode(
+                src_tokens, src_mask, deterministic=deterministic)
+
+        result = self.decoder(
+            decoder_input, encoder_out=encoder_out, encoder_mask=encoder_mask,
+            deterministic=deterministic, return_layers=return_layers,
+            return_weights=return_weights)
+        logits, extras = result if isinstance(result, tuple) else (result, {})
+
+        out = {"logits": logits, **extras}
+        if targets is not None:
+            pad_mask = (targets != cfg.padding_idx).astype(jnp.float32)
+            weights = pad_mask
+            if prompt_mask is not None and cfg.prompt_loss != 1.0:
+                weights = weights * jnp.where(prompt_mask, cfg.prompt_loss, 1.0)
+            loss_sum, nll_sum, denom = cross_entropy_loss(
+                logits, targets, weights,
+                label_smoothing=cfg.label_smoothing or 0.0)
+            out.update(loss_sum=loss_sum, nll_sum=nll_sum,
+                       num_tokens=jnp.sum(pad_mask))
+        return out

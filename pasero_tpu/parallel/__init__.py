@@ -1,0 +1,6 @@
+"""Parallelism: device mesh, GSPMD sharding rules, host data sharding."""
+
+from .mesh import MeshConfig, make_mesh
+from .sharding import (LOGICAL_RULES, batch_sharding, fsdp_rules,
+                       logical_axis_sharding, param_shardings, replicate,
+                       shard_batch_arrays)
