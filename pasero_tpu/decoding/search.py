@@ -1,0 +1,389 @@
+"""On-device decoding: greedy/sampling and beam search with static shapes.
+
+TPU re-design of pasero/decoding.py:906-1646. Everything the reference does
+with dynamic python control flow becomes fixed-shape jitted programs:
+
+- prompts are LEFT-aligned so all rows write the KV cache at the same slot;
+  per-row position offsets keep RoPE/ALiBi correct (decoding.py handles
+  left-padded batches with per-sample offsets too, modules.py:996-1013);
+- the sampling loop is a ``lax.while_loop`` with a finished mask — no batch
+  shrinking (the reference re-indexes finished_ids, decoding.py:1449-1540);
+- beam search keeps 2*beam candidates per step (fairseq-style EOS harvest,
+  decoding.py:1427-1530), finalizing EOS hypotheses into a fixed (B, beam)
+  buffer; scores are length-normalized by (len+1)^p at the end
+  (decoding.py:1639);
+- top-k/top-p/temperature/repeat-penalty/blacklist/stop-sequences match the
+  reference's sampling semantics (decoding.py:1005-1222).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -1e9
+
+
+def left_align(tokens: np.ndarray, mask: np.ndarray, pad_idx: int):
+    """Right-padded prompt rows -> left-padded (right-aligned) rows."""
+    tokens = np.asarray(tokens)
+    mask = np.asarray(mask, dtype=bool)
+    out_tokens = np.full_like(tokens, pad_idx)
+    out_mask = np.zeros_like(mask)
+    P = tokens.shape[1]
+    for i in range(tokens.shape[0]):
+        ids = tokens[i, mask[i]]
+        if len(ids):
+            out_tokens[i, P - len(ids):] = ids
+            out_mask[i, P - len(ids):] = True
+    return out_tokens, out_mask
+
+
+def _apply_sampling_filters(logits, tokens_so_far, cfg_static, rng):
+    """temperature / repeat penalty / top-k / top-p -> sampled token + logprob."""
+    (temperature, top_k, top_p, repeat_penalty, greedy) = cfg_static
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+
+    if repeat_penalty != 1.0:
+        V = logits.shape[-1]
+        seen = jax.vmap(lambda row: jnp.zeros(V, bool).at[row].set(True))(
+            tokens_so_far)
+        penalized = jnp.where(logits < 0, logits * repeat_penalty,
+                              logits / repeat_penalty)
+        logits = jnp.where(seen, penalized, logits)
+
+    if greedy:
+        token = jnp.argmax(logits, axis=-1)
+        return token, jnp.take_along_axis(logprobs, token[:, None], 1)[:, 0]
+
+    scaled = logits / max(temperature, 1e-6)
+    if top_k and top_k > 0:
+        kth = jnp.sort(scaled, axis=-1)[:, -top_k][:, None]
+        scaled = jnp.where(scaled < kth, NEG_INF, scaled)
+    if top_p and top_p < 1.0:
+        sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep the smallest set of tokens with cumulative prob >= top_p
+        cutoff_idx = jnp.sum(cum < top_p, axis=-1)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], 1)
+        scaled = jnp.where(scaled < cutoff, NEG_INF, scaled)
+    token = jax.random.categorical(rng, scaled, axis=-1)
+    return token, jnp.take_along_axis(logprobs, token[:, None], 1)[:, 0]
+
+
+def _stop_sequence_hit(tokens, length, stop_sequences):
+    """True where the generated suffix matches any stop sequence.
+    tokens: (B, L) buffer; length: (B,) current total length (left-aligned
+    from position 0 in the buffer)."""
+    if not stop_sequences:
+        return jnp.zeros(tokens.shape[0], bool)
+    length = jnp.broadcast_to(jnp.asarray(length), (tokens.shape[0],))
+    hits = jnp.zeros(tokens.shape[0], bool)
+    L = tokens.shape[1]
+    for seq in stop_sequences:
+        seq = jnp.asarray(seq)
+        n = seq.shape[0]
+        # gather the last n tokens before `length`
+        idx = jnp.clip(length[:, None] - n + jnp.arange(n)[None, :], 0, L - 1)
+        window = jnp.take_along_axis(tokens, idx, axis=1)
+        match = jnp.all(window == seq[None, :], axis=1) & (length >= n)
+        hits |= match
+    return hits
+
+
+def sample_decode(
+    model, params, prompt, prompt_mask, *,
+    max_new: int, eos_idx: int, pad_idx: int,
+    encoder_out=None, encoder_mask=None,
+    temperature: float = 1.0, top_k: int = 0, top_p: float = 1.0,
+    repeat_penalty: float = 1.0, greedy: bool = True,
+    min_lengths=None, blacklist: tuple = (), stop_sequences: tuple = (),
+    rng: Optional[jax.Array] = None,
+):
+    """Greedy / sampling generation (decoding.py sample_on_the_fly).
+
+    prompt: (B, P) LEFT-padded int32; prompt_mask: (B, P) bool.
+    Returns dict with tokens (B, max_new), scores (B, max_new), lengths (B,).
+    """
+    B, P = prompt.shape
+    L = P + max_new  # cache length
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    prompt_len = prompt_mask.sum(axis=1).astype(jnp.int32)
+    cfg_static = (temperature, top_k, top_p, repeat_penalty, greedy)
+
+    positions = (jnp.arange(P)[None, :] - (P - prompt_len)[:, None]).astype(jnp.int32)
+    pad_valid = jnp.concatenate(
+        [prompt_mask, jnp.ones((B, max_new), bool)], axis=1)  # (B, L)
+
+    # process the prompt block, creating + filling the KV cache
+    logits, mutated = model.apply(
+        {"params": params}, prompt, encoder_out=encoder_out,
+        encoder_mask=encoder_mask, positions=positions,
+        tgt_mask=jnp.ones((B, P), bool), self_kv_mask=pad_valid,
+        method=type(model).decode_step, mutable=["cache"])
+    cache = mutated["cache"]
+    last_logits = logits[:, -1].astype(jnp.float32)
+
+    dummy_encoder = (jnp.zeros((B, 1, encoder_out.shape[-1]), encoder_out.dtype)
+                     if encoder_out is not None else None)
+
+    blacklist_arr = jnp.asarray(list(blacklist), jnp.int32) if blacklist else None
+
+    def mask_logits(logits, step):
+        if blacklist_arr is not None:
+            logits = logits.at[:, blacklist_arr].set(NEG_INF)
+        if min_lengths is not None:
+            too_short = step < jnp.asarray(min_lengths)
+            logits = jnp.where(too_short[:, None] &
+                               (jnp.arange(logits.shape[-1]) == eos_idx)[None, :],
+                               NEG_INF, logits)
+        return logits
+
+    def cond(carry):
+        step, _, _, _, _, finished, _ = carry
+        return (step < max_new) & ~jnp.all(finished)
+
+    def body(carry):
+        step, cache, logits, tokens_buf, scores_buf, finished, rng = carry
+        rng, sample_rng = jax.random.split(rng)
+        logits = mask_logits(logits, step)
+        token, logprob = _apply_sampling_filters(
+            logits, tokens_buf, cfg_static, sample_rng)
+        token = jnp.where(finished, pad_idx, token).astype(jnp.int32)
+        logprob = jnp.where(finished, 0.0, logprob)
+        tokens_buf = tokens_buf.at[:, step].set(token)
+        scores_buf = scores_buf.at[:, step].set(logprob)
+
+        hit_stop = _stop_sequence_hit(tokens_buf, step + 1,
+                                      stop_sequences)
+        finished = finished | (token == eos_idx) | hit_stop
+
+        pos = (prompt_len + step)[:, None]
+        new_logits, mutated = model.apply(
+            {"params": params, "cache": cache}, token[:, None],
+            encoder_out=dummy_encoder, encoder_mask=encoder_mask,
+            positions=pos, tgt_mask=jnp.ones((B, 1), bool),
+            self_kv_mask=pad_valid,
+            method=type(model).decode_step, mutable=["cache"])
+        return (step + 1, mutated["cache"], new_logits[:, -1].astype(jnp.float32),
+                tokens_buf, scores_buf, finished, rng)
+
+    init = (jnp.zeros((), jnp.int32), cache, last_logits,
+            jnp.full((B, max_new), pad_idx, jnp.int32),
+            jnp.zeros((B, max_new), jnp.float32),
+            jnp.zeros((B,), bool), rng)
+
+    step, cache, _, tokens_buf, scores_buf, finished, _ = jax.lax.while_loop(
+        cond, body, init)
+    lengths = jnp.argmax(
+        jnp.concatenate([tokens_buf == eos_idx,
+                         jnp.ones((B, 1), bool)], axis=1), axis=1) + 1
+    lengths = jnp.minimum(lengths, max_new)
+    return {"tokens": tokens_buf, "scores": scores_buf, "lengths": lengths}
+
+
+# ---------------------------------------------------------------------------
+# beam search
+# ---------------------------------------------------------------------------
+
+def _flatten_beam(x):
+    return x.reshape((-1,) + x.shape[2:])
+
+
+def _unflatten_beam(x, B, K):
+    return x.reshape((B, K) + x.shape[1:])
+
+
+def _gather_beams(tree, beam_indices, B, K):
+    """Reorder the beam dimension of every (B*K, ...) array in the tree."""
+    flat_idx = (jnp.arange(B)[:, None] * K + beam_indices).reshape(-1)
+
+    def gather(x):
+        # scalar bookkeeping entries (cache_index, cross_filled) are shared
+        if x.ndim == 0 or x.shape[0] != B * K:
+            return x
+        return jnp.take(x, flat_idx, axis=0)
+
+    return jax.tree_util.tree_map(gather, tree)
+
+
+def beam_search(
+    model, params, prompt, prompt_mask, *,
+    beam_size: int, max_new: int, eos_idx: int, pad_idx: int,
+    encoder_out=None, encoder_mask=None, len_penalty: float = 1.0,
+    min_lengths=None, blacklist: tuple = (),
+):
+    """fairseq-style beam search (decoding.py:1224-1646), fixed shapes.
+
+    prompt (B, P) LEFT-padded (forced tokens are teacher-forced for every
+    beam). Returns tokens (B, beam, max_new), scores (B, beam) normalized,
+    positional_scores (B, beam, max_new), lengths (B, beam) — hypotheses
+    sorted best-first.
+    """
+    B, P = prompt.shape
+    K = beam_size
+    V_neg = NEG_INF
+    prompt_len = prompt_mask.sum(axis=1).astype(jnp.int32)
+
+    # expand to B*K rows
+    def expand(x):
+        if x is None:
+            return None
+        return jnp.repeat(x, K, axis=0)
+
+    prompt_k = expand(prompt)
+    prompt_mask_k = expand(prompt_mask)
+    encoder_out_k = expand(encoder_out)
+    encoder_mask_k = expand(encoder_mask)
+    prompt_len_k = expand(prompt_len)
+
+    positions = (jnp.arange(P)[None, :]
+                 - (P - prompt_len_k)[:, None]).astype(jnp.int32)
+    pad_valid_k = jnp.concatenate(
+        [prompt_mask_k, jnp.ones((B * K, max_new), bool)], axis=1)
+    logits, mutated = model.apply(
+        {"params": params}, prompt_k, encoder_out=encoder_out_k,
+        encoder_mask=encoder_mask_k, positions=positions,
+        tgt_mask=jnp.ones((B * K, P), bool), self_kv_mask=pad_valid_k,
+        method=type(model).decode_step, mutable=["cache"])
+    cache = mutated["cache"]
+    last_logprobs = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), -1)
+
+    dummy_encoder = (jnp.zeros((B * K, 1, encoder_out.shape[-1]),
+                               encoder_out.dtype)
+                     if encoder_out is not None else None)
+    blacklist_arr = jnp.asarray(list(blacklist), jnp.int32) if blacklist else None
+
+    # live state
+    live_scores0 = jnp.tile(jnp.array([0.0] + [V_neg] * (K - 1)), (B, 1))
+
+    def mask_special(logprobs, step):
+        if blacklist_arr is not None:
+            logprobs = logprobs.at[:, :, blacklist_arr].set(V_neg)
+        if min_lengths is not None:
+            too_short = step < jnp.asarray(min_lengths)
+            eos_col = (jnp.arange(logprobs.shape[-1]) == eos_idx)
+            logprobs = jnp.where(too_short[:, None, None] & eos_col[None, None, :],
+                                 V_neg, logprobs)
+        return logprobs
+
+    def norm(score, length):
+        return score / ((length.astype(jnp.float32) + 1.0) ** len_penalty)
+
+    def cond(carry):
+        (step, _, _, _, _, live_scores, fin_scores, _, _, _) = carry
+        # stop when no live beam can beat the worst finalized hypothesis
+        best_possible = norm(jnp.max(live_scores, axis=1),
+                             jnp.full((B,), max_new))
+        worst_final = jnp.min(fin_scores, axis=1)
+        improvable = best_possible > worst_final
+        return (step < max_new) & jnp.any(improvable)
+
+    def body(carry):
+        (step, cache, logprobs, tokens_buf, pos_scores_buf, live_scores,
+         fin_scores, fin_tokens, fin_pos_scores, fin_lengths) = carry
+        logprobs = _unflatten_beam(logprobs, B, K)          # (B, K, V)
+        logprobs = mask_special(logprobs, step)
+        V = logprobs.shape[-1]
+        cand = live_scores[:, :, None] + logprobs            # (B, K, V)
+        flat = cand.reshape(B, K * V)
+        top_scores, top_idx = jax.lax.top_k(flat, 2 * K)     # (B, 2K)
+        beam_idx = top_idx // V
+        token_idx = top_idx % V
+
+        is_eos = token_idx == eos_idx
+        # -- finalize EOS candidates into the fixed-size buffers ------------
+        eos_norm = jnp.where(is_eos, norm(top_scores, step + 1), V_neg)
+        # merge current finalized (B, K) with eos candidates (B, 2K): take top K
+        merged_scores = jnp.concatenate([fin_scores, eos_norm], axis=1)
+        take_scores, take_idx = jax.lax.top_k(merged_scores, K)
+
+        # build candidate finalized tokens
+        cand_tokens = jnp.take_along_axis(
+            _unflatten_beam(tokens_buf, B, K), beam_idx[..., None], axis=1)
+        cand_tokens = cand_tokens.at[:, :, step].set(
+            jnp.where(is_eos, token_idx, pad_idx))
+        cand_pos = jnp.take_along_axis(
+            _unflatten_beam(pos_scores_buf, B, K), beam_idx[..., None], axis=1)
+        step_logprob = top_scores - jnp.take_along_axis(
+            live_scores, beam_idx, axis=1)
+        cand_pos = cand_pos.at[:, :, step].set(step_logprob)
+        cand_lengths = jnp.full((B, 2 * K), step + 1)
+
+        all_tokens = jnp.concatenate([fin_tokens, cand_tokens], axis=1)
+        all_pos = jnp.concatenate([fin_pos_scores, cand_pos], axis=1)
+        all_lengths = jnp.concatenate([fin_lengths, cand_lengths], axis=1)
+        fin_scores = take_scores
+        fin_tokens = jnp.take_along_axis(all_tokens, take_idx[..., None], axis=1)
+        fin_pos_scores = jnp.take_along_axis(all_pos, take_idx[..., None], axis=1)
+        fin_lengths = jnp.take_along_axis(all_lengths, take_idx, axis=1)
+
+        # -- keep the best K non-EOS candidates as the live beams -----------
+        live_cand = jnp.where(is_eos, V_neg, top_scores)
+        new_live_scores, live_idx = jax.lax.top_k(live_cand, K)  # (B, K)
+        new_beam_idx = jnp.take_along_axis(beam_idx, live_idx, axis=1)
+        new_token = jnp.take_along_axis(token_idx, live_idx, axis=1)
+        new_step_logprob = jnp.take_along_axis(step_logprob, live_idx, axis=1)
+
+        tokens_buf = _unflatten_beam(tokens_buf, B, K)
+        tokens_buf = jnp.take_along_axis(tokens_buf, new_beam_idx[..., None], 1)
+        tokens_buf = tokens_buf.at[:, :, step].set(new_token)
+        tokens_buf = _flatten_beam(tokens_buf)
+        pos_scores_buf = _unflatten_beam(pos_scores_buf, B, K)
+        pos_scores_buf = jnp.take_along_axis(pos_scores_buf,
+                                             new_beam_idx[..., None], 1)
+        pos_scores_buf = pos_scores_buf.at[:, :, step].set(new_step_logprob)
+        pos_scores_buf = _flatten_beam(pos_scores_buf)
+
+        cache = _gather_beams(cache, new_beam_idx, B, K)
+
+        pos = (prompt_len_k + step)[:, None]
+        new_logits, mutated = model.apply(
+            {"params": params, "cache": cache},
+            _flatten_beam(new_token)[:, None],
+            encoder_out=dummy_encoder, encoder_mask=encoder_mask_k,
+            positions=pos, tgt_mask=jnp.ones((B * K, 1), bool),
+            self_kv_mask=pad_valid_k,
+            method=type(model).decode_step, mutable=["cache"])
+        new_logprobs = jax.nn.log_softmax(
+            new_logits[:, -1].astype(jnp.float32), -1)
+        return (step + 1, mutated["cache"], new_logprobs, tokens_buf,
+                pos_scores_buf, new_live_scores, fin_scores, fin_tokens,
+                fin_pos_scores, fin_lengths)
+
+    init = (
+        jnp.zeros((), jnp.int32), cache, last_logprobs,
+        jnp.full((B * K, max_new), pad_idx, jnp.int32),
+        jnp.zeros((B * K, max_new), jnp.float32),
+        live_scores0,
+        jnp.full((B, K), V_neg),                      # finalized scores (normalized)
+        jnp.full((B, K, max_new), pad_idx, jnp.int32),
+        jnp.zeros((B, K, max_new), jnp.float32),
+        jnp.zeros((B, K), jnp.int32),
+    )
+    (step, cache, logprobs, tokens_buf, pos_scores_buf, live_scores,
+     fin_scores, fin_tokens, fin_pos_scores, fin_lengths) = jax.lax.while_loop(
+        cond, body, init)
+
+    # if some rows never produced EOS, fall back to the best live beams
+    no_final = fin_scores <= V_neg / 2
+    live_norm = norm(live_scores, jnp.full_like(live_scores, max_new))
+    fin_scores = jnp.where(no_final, live_norm, fin_scores)
+    live_tokens = _unflatten_beam(tokens_buf, B, K)
+    live_pos = _unflatten_beam(pos_scores_buf, B, K)
+    fin_tokens = jnp.where(no_final[..., None], live_tokens, fin_tokens)
+    fin_pos_scores = jnp.where(no_final[..., None], live_pos, fin_pos_scores)
+    fin_lengths = jnp.where(no_final, max_new, fin_lengths)
+
+    order = jnp.argsort(-fin_scores, axis=1)
+    fin_scores = jnp.take_along_axis(fin_scores, order, axis=1)
+    fin_tokens = jnp.take_along_axis(fin_tokens, order[..., None], axis=1)
+    fin_pos_scores = jnp.take_along_axis(fin_pos_scores, order[..., None], axis=1)
+    fin_lengths = jnp.take_along_axis(fin_lengths, order, axis=1)
+    return {"tokens": fin_tokens, "scores": fin_scores,
+            "positional_scores": fin_pos_scores, "lengths": fin_lengths}

@@ -277,8 +277,12 @@ class TransformerDecoder(nn.Module):
     @nn.compact
     def __call__(self, tokens, encoder_out=None, encoder_mask=None,
                  tgt_mask=None, positions=None, decode=False,
-                 deterministic=True, return_layers=False, return_weights=False):
-        """tokens: (B, T) decoder input ids. Returns logits (B, T, V) float32."""
+                 self_kv_mask=None, deterministic=True, return_layers=False,
+                 return_weights=False):
+        """tokens: (B, T) decoder input ids. Returns logits (B, T, V) float32.
+
+        self_kv_mask: (B, cache_len) bool — validity of KV-cache slots at
+        decode time (False at left-pad prompt slots)."""
         cfg = self.cfg
         embed = Embedding(self.vocab_size, cfg.embed_dim, dtype=self.dtype,
                           name="embed_tokens")
@@ -306,7 +310,10 @@ class TransformerDecoder(nn.Module):
 
         B, T = tokens.shape
         if decode:
-            self_mask = None  # built inside the cache update from positions
+            # causal structure comes from positions in the cache update; the
+            # caller only masks out invalid (left-pad) cache slots
+            self_mask = (self_kv_mask[:, None, None, :]
+                         if self_kv_mask is not None else None)
         else:
             self_mask = tgt_mask[:, None, None, :]
 
@@ -451,11 +458,12 @@ class Transformer(nn.Module):
                             deterministic=deterministic)
 
     def decode_step(self, tokens, encoder_out=None, encoder_mask=None,
-                    positions=None, tgt_mask=None):
+                    positions=None, tgt_mask=None, self_kv_mask=None):
         """Single incremental decoding call (updates the 'cache' collection)."""
         return self.decoder(tokens, encoder_out=encoder_out,
                             encoder_mask=encoder_mask, positions=positions,
-                            tgt_mask=tgt_mask, decode=True, deterministic=True)
+                            tgt_mask=tgt_mask, decode=True,
+                            self_kv_mask=self_kv_mask, deterministic=True)
 
     def __call__(self, src_tokens=None, src_mask=None, decoder_input=None,
                  targets=None, prompt_mask=None, deterministic=True,

@@ -1,0 +1,191 @@
+"""Decoding tests: greedy/sampling/beam parity against naive full-forward rollout."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pasero_tpu.config import get_model_config_cls
+from pasero_tpu.decoding.search import beam_search, left_align, sample_decode
+from pasero_tpu.models.transformer import Transformer
+
+RNG = jax.random.PRNGKey(0)
+V = 40
+MAX_NEW = 8
+
+
+def small_cfg(arch, task, **overrides):
+    cfg = get_model_config_cls(arch)()
+    cfg.set_defaults(task)
+    cfg.encoder_layers = cfg.decoder_layers = 2
+    cfg.embed_dim = 32
+    cfg.encoder_ffn_dim = cfg.decoder_ffn_dim = 64
+    cfg.encoder_attention_heads = cfg.decoder_attention_heads = 4
+    cfg.dropout = 0.0
+    for k, v in overrides.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def naive_greedy(model, params, prompt_rows, max_new, eos, src=None):
+    """Reference rollout: full forward at every step, per row, no cache."""
+    outs = []
+    for i, row in enumerate(prompt_rows):
+        ids = list(row)
+        generated = []
+        for _ in range(max_new):
+            dec = jnp.asarray([ids], jnp.int32)
+            kwargs = dict(decoder_input=dec)
+            if src is not None:
+                kwargs["src_tokens"] = src[i:i + 1]
+            logits = model.apply({"params": params}, **kwargs)["logits"]
+            token = int(jnp.argmax(logits[0, -1]))
+            generated.append(token)
+            if token == eos:
+                break
+            ids.append(token)
+        outs.append(generated)
+    return outs
+
+
+@pytest.mark.parametrize("arch,task", [
+    ("llama_7b", "language_modeling"),
+    ("bloom_560m", "language_modeling"),
+])
+def test_greedy_matches_naive_decoder_only(arch, task):
+    overrides = {"attention_heads_kv": 2} if arch == "llama_7b" else {}
+    cfg = small_cfg(arch, task, **overrides)
+    pad, eos = max(cfg.padding_idx, 0), cfg.eos_idx
+    prompts = [[5, 6, 7, 8, 9], [10, 11, 12]]
+    P = max(len(p) for p in prompts)
+    right = np.full((2, P), pad, np.int32)
+    mask = np.zeros((2, P), bool)
+    for i, p in enumerate(prompts):
+        right[i, :len(p)] = p
+        mask[i, :len(p)] = True
+
+    model = Transformer(cfg, src_vocab_size=V,
+                        self_cache_len=P + MAX_NEW)
+    variables = model.init(RNG, decoder_input=jnp.asarray(right))
+    params = variables["params"]
+
+    left_tokens, left_mask = left_align(right, mask, pad)
+    out = sample_decode(model, params, jnp.asarray(left_tokens),
+                        jnp.asarray(left_mask), max_new=MAX_NEW,
+                        eos_idx=eos, pad_idx=pad, greedy=True)
+    expected = naive_greedy(model, params, prompts, MAX_NEW, eos)
+    for i, exp in enumerate(expected):
+        got = [int(t) for t in np.asarray(out["tokens"][i])][:len(exp)]
+        assert got == exp, f"row {i}: {got} != {exp}"
+
+
+def test_greedy_matches_naive_encoder_decoder():
+    cfg = small_cfg("transformer_small", "translation")
+    pad, eos, bos = cfg.padding_idx, cfg.eos_idx, cfg.bos_idx
+    B, S = 2, 6
+    rng = np.random.default_rng(0)
+    src = rng.integers(4, V, (B, S)).astype(np.int32)
+    src[1, -2:] = pad
+    src = jnp.asarray(src)
+
+    model = Transformer(cfg, src_vocab_size=V, self_cache_len=1 + MAX_NEW,
+                        cross_cache_len=S)
+    prompt = np.full((B, 1), bos, np.int32)
+    variables = model.init(RNG, src_tokens=src,
+                           decoder_input=jnp.asarray(prompt))
+    params = variables["params"]
+    encoder_out, encoder_mask = model.apply(
+        {"params": params}, src, method=Transformer.encode)
+
+    out = sample_decode(model, params, jnp.asarray(prompt),
+                        jnp.ones((B, 1), bool), max_new=MAX_NEW,
+                        eos_idx=eos, pad_idx=pad, greedy=True,
+                        encoder_out=encoder_out, encoder_mask=encoder_mask)
+    expected = naive_greedy(model, params, [[bos]] * B, MAX_NEW, eos, src=src)
+    for i, exp in enumerate(expected):
+        got = [int(t) for t in np.asarray(out["tokens"][i])][:len(exp)]
+        assert got == exp, f"row {i}: {got} != {exp}"
+
+
+def test_beam_search_basics():
+    cfg = small_cfg("transformer_small", "translation")
+    pad, eos, bos = cfg.padding_idx, cfg.eos_idx, cfg.bos_idx
+    B, S, K = 2, 6, 3
+    src = jnp.asarray(np.random.default_rng(1).integers(4, V, (B, S)), jnp.int32)
+    model = Transformer(cfg, src_vocab_size=V, self_cache_len=1 + MAX_NEW,
+                        cross_cache_len=S)
+    prompt = jnp.full((B, 1), bos, jnp.int32)
+    variables = model.init(RNG, src_tokens=src, decoder_input=prompt)
+    params = variables["params"]
+    encoder_out, encoder_mask = model.apply(
+        {"params": params}, src, method=Transformer.encode)
+
+    out = beam_search(model, params, prompt, jnp.ones((B, 1), bool),
+                      beam_size=K, max_new=MAX_NEW, eos_idx=eos, pad_idx=pad,
+                      encoder_out=encoder_out, encoder_mask=encoder_mask)
+    scores = np.asarray(out["scores"])
+    assert out["tokens"].shape == (B, K, MAX_NEW)
+    # sorted best-first
+    assert (np.diff(scores, axis=1) <= 1e-6).all()
+    # positional scores sum (unnormalized) matches normalized score * (len+1)^p
+    lengths = np.asarray(out["lengths"])
+    pos_sum = np.asarray(out["positional_scores"]).sum(axis=-1)
+    expected = pos_sum / (lengths + 1.0)
+    np.testing.assert_allclose(scores, expected, atol=1e-4)
+
+
+def test_beam1_matches_greedy():
+    cfg = small_cfg("transformer_small", "translation")
+    pad, eos, bos = cfg.padding_idx, cfg.eos_idx, cfg.bos_idx
+    B, S = 2, 5
+    src = jnp.asarray(np.random.default_rng(2).integers(4, V, (B, S)), jnp.int32)
+    model = Transformer(cfg, src_vocab_size=V, self_cache_len=1 + MAX_NEW,
+                        cross_cache_len=S)
+    prompt = jnp.full((B, 1), bos, jnp.int32)
+    params = model.init(RNG, src_tokens=src, decoder_input=prompt)["params"]
+    encoder_out, encoder_mask = model.apply(
+        {"params": params}, src, method=Transformer.encode)
+    greedy = sample_decode(model, params, prompt, jnp.ones((B, 1), bool),
+                           max_new=MAX_NEW, eos_idx=eos, pad_idx=pad,
+                           greedy=True, encoder_out=encoder_out,
+                           encoder_mask=encoder_mask)
+    beam = beam_search(model, params, prompt, jnp.ones((B, 1), bool),
+                       beam_size=1, max_new=MAX_NEW, eos_idx=eos, pad_idx=pad,
+                       encoder_out=encoder_out, encoder_mask=encoder_mask)
+    for i in range(B):
+        g = [int(t) for t in np.asarray(greedy["tokens"][i])]
+        b = [int(t) for t in np.asarray(beam["tokens"][i, 0])]
+        n = int(greedy["lengths"][i])
+        assert g[:n] == b[:n]
+
+
+def test_sampling_respects_blacklist_and_topk():
+    cfg = small_cfg("llama_7b", "language_modeling", attention_heads_kv=2)
+    pad, eos = max(cfg.padding_idx, 0), cfg.eos_idx
+    prompt = jnp.asarray([[5, 6, 7]], jnp.int32)
+    model = Transformer(cfg, src_vocab_size=V, self_cache_len=3 + MAX_NEW)
+    params = model.init(RNG, decoder_input=prompt)["params"]
+    banned = (9, 10, 11)
+    out = sample_decode(model, params, prompt, jnp.ones((1, 3), bool),
+                        max_new=MAX_NEW, eos_idx=eos, pad_idx=pad,
+                        greedy=False, temperature=2.0, top_k=5,
+                        blacklist=banned, rng=jax.random.PRNGKey(7))
+    tokens = [int(t) for t in np.asarray(out["tokens"][0])]
+    assert not set(tokens) & set(banned)
+
+
+def test_stop_sequences():
+    cfg = small_cfg("llama_7b", "language_modeling", attention_heads_kv=2)
+    pad, eos = max(cfg.padding_idx, 0), cfg.eos_idx
+    prompt = jnp.asarray([[5, 6, 7]], jnp.int32)
+    model = Transformer(cfg, src_vocab_size=V, self_cache_len=3 + MAX_NEW)
+    params = model.init(RNG, decoder_input=prompt)["params"]
+    # find what greedy generates first, then use it as a stop sequence
+    free = sample_decode(model, params, prompt, jnp.ones((1, 3), bool),
+                         max_new=MAX_NEW, eos_idx=eos, pad_idx=pad, greedy=True)
+    first = int(free["tokens"][0, 0])
+    stopped = sample_decode(model, params, prompt, jnp.ones((1, 3), bool),
+                            max_new=MAX_NEW, eos_idx=eos, pad_idx=pad,
+                            greedy=True, stop_sequences=((first,),))
+    later = np.asarray(stopped["tokens"][0, 1:])
+    assert (later == pad).all()  # generation stopped after the stop token
