@@ -8,3 +8,7 @@ zoo. See SURVEY.md at the repo root for the capability blueprint.
 """
 
 __version__ = "0.1.0"
+
+# populate the task/dataset registries (jax-free imports)
+from . import tasks as _tasks  # noqa: E402,F401
+from . import datasets as _datasets  # noqa: E402,F401

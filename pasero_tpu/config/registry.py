@@ -73,6 +73,8 @@ def get_model_cls(arch: str) -> tuple:
     Walks the arch config's MRO to find the closest registered model family
     (pasero/config.py:103-122 does the same with its registry).
     """
+    if not MODEL_REGISTRY:
+        from .. import models  # registration side effects (lazy: pulls jax)
     cfg_cls = get_model_config_cls(arch)
     for klass in cfg_cls.__mro__:
         for model_cls, registered_cfg in MODEL_REGISTRY.values():

@@ -168,10 +168,13 @@ class ValidationDataset:
         files = corpus.open_files()
         count = 0
         while True:
+            line_tuple = []
             try:
-                line_tuple = tuple(next(f) for f in files)
+                for f in files:
+                    line_tuple.append(next(f))
             except StopIteration:
                 break
+            line_tuple = tuple(line_tuple)
             if not all(len(x) > 0 for x in line_tuple):
                 continue
             raw = corpus.tuple_to_dict(line_tuple)

