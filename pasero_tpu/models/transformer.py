@@ -23,7 +23,35 @@ from ..config import TransformerConfig, register_model
 from .attention import MultiheadAttention, NEG_INF
 from .modules import (AdapterLayer, ConvolutionSubsampler, Embedding,
                       FeedForward, Linear, make_norm)
+from .moe import MoEFeedForward, moe_expert_count
 from .positional import PositionalEmbedding, T5RelativeBias, alibi_bias
+
+
+def make_ffn(cfg, is_decoder: bool, layer_id: int, dtype, name="ffn"):
+    """Dense FFN or MoE layer depending on the config and layer id
+    (pasero/models/mixture_of_experts.py:481-506 layer placement)."""
+    num_experts = moe_expert_count(cfg, layer_id, is_decoder)
+    ffn_dim = cfg.decoder_ffn_dim if is_decoder else cfg.encoder_ffn_dim
+    if num_experts:
+        expert_dim = getattr(cfg, f"{'decoder' if is_decoder else 'encoder'}_expert_dim",
+                             None) or ffn_dim
+        return MoEFeedForward(
+            num_experts=num_experts, ffn_dim=expert_dim,
+            activation=cfg.activation_fn, use_bias=cfg.has_bias,
+            impl=getattr(cfg, "moe_impl", "fused"),
+            capacity_factor=getattr(cfg, "capacity_factor", 0.0),
+            load_balancing=getattr(cfg, "load_balancing", 0.0),
+            dtype=dtype, name=name)
+    return FeedForward(ffn_dim, activation=cfg.activation_fn,
+                       use_bias=cfg.has_bias, dropout=cfg.activation_dropout,
+                       lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
+                       dtype=dtype, name=name)
+
+
+def apply_ffn(ffn, x, pad_mask, deterministic):
+    if isinstance(ffn, MoEFeedForward):
+        return ffn(x, pad_mask=pad_mask, deterministic=deterministic)
+    return ffn(x, deterministic=deterministic)
 
 Dtype = Any
 
@@ -40,6 +68,7 @@ def positions_from_mask(pad_mask: jnp.ndarray, shift: int = 0) -> jnp.ndarray:
 
 class TransformerEncoderLayer(nn.Module):
     cfg: TransformerConfig
+    layer_id: int = 0
     kernel: str = "xla"
     dtype: Dtype = jnp.bfloat16
 
@@ -57,10 +86,8 @@ class TransformerEncoderLayer(nn.Module):
             kernel=self.kernel, dtype=self.dtype, name="self_attn")
         norm1 = make_norm(cfg, self.dtype)
         norm2 = norm1 if cfg.shared_norm else make_norm(cfg, self.dtype)
-        ffn = FeedForward(cfg.encoder_ffn_dim, activation=cfg.activation_fn,
-                          use_bias=cfg.has_bias, dropout=cfg.activation_dropout,
-                          lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
-                          dtype=self.dtype, name="ffn")
+        ffn = make_ffn(cfg, False, self.layer_id, self.dtype)
+        pad_mask = mask[:, 0, 0, :] if mask is not None else None
         dropout = nn.Dropout(rate=cfg.dropout, deterministic=deterministic)
 
         residual = x
@@ -70,8 +97,8 @@ class TransformerEncoderLayer(nn.Module):
         attn_out, weights = result if return_weights else (result, None)
 
         if cfg.parallel_attention:  # Falcon: FFN from the same normalized input
-            ffn_out = ffn(norm2(x) if cfg.encoder_prenorm else x,
-                          deterministic=deterministic)
+            ffn_out = apply_ffn(ffn, norm2(x) if cfg.encoder_prenorm else x,
+                                pad_mask, deterministic)
             x = residual + dropout(attn_out) + dropout(ffn_out)
             if not cfg.encoder_prenorm:
                 x = norm1(x)
@@ -81,7 +108,7 @@ class TransformerEncoderLayer(nn.Module):
                 x = norm1(x)
             residual = x
             h = norm2(x) if cfg.encoder_prenorm else x
-            x = residual + dropout(ffn(h, deterministic=deterministic))
+            x = residual + dropout(apply_ffn(ffn, h, pad_mask, deterministic))
             if not cfg.encoder_prenorm:
                 x = norm2(x)
 
@@ -92,6 +119,7 @@ class TransformerEncoderLayer(nn.Module):
 
 class TransformerDecoderLayer(nn.Module):
     cfg: TransformerConfig
+    layer_id: int = 0
     has_cross_attention: bool = True
     self_cache_len: int = 0
     cross_cache_len: int = 0
@@ -127,14 +155,13 @@ class TransformerDecoderLayer(nn.Module):
                            return_weights=return_weights)
         attn_out, self_weights = result if return_weights else (result, None)
 
+        tgt_pad_mask = None
+        if self_mask is not None and not decode:
+            tgt_pad_mask = self_mask[:, 0, 0, :]
         if cfg.parallel_attention:
-            ffn = FeedForward(cfg.decoder_ffn_dim, activation=cfg.activation_fn,
-                              use_bias=cfg.has_bias,
-                              dropout=cfg.activation_dropout,
-                              lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
-                              dtype=self.dtype, name="ffn")
-            ffn_out = ffn(norm2(x) if cfg.decoder_prenorm else x,
-                          deterministic=deterministic)
+            ffn = make_ffn(cfg, True, self.layer_id, self.dtype)
+            ffn_out = apply_ffn(ffn, norm2(x) if cfg.decoder_prenorm else x,
+                                tgt_pad_mask, deterministic)
             x = residual + dropout(attn_out) + dropout(ffn_out)
             if not cfg.decoder_prenorm:
                 x = norm1(x)
@@ -170,13 +197,10 @@ class TransformerDecoderLayer(nn.Module):
             if not cfg.decoder_prenorm:
                 x = cross_norm(x)
 
-        ffn = FeedForward(cfg.decoder_ffn_dim, activation=cfg.activation_fn,
-                          use_bias=cfg.has_bias, dropout=cfg.activation_dropout,
-                          lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
-                          dtype=self.dtype, name="ffn")
+        ffn = make_ffn(cfg, True, self.layer_id, self.dtype)
         residual = x
         h = norm2(x) if cfg.decoder_prenorm else x
-        x = residual + dropout(ffn(h, deterministic=deterministic))
+        x = residual + dropout(apply_ffn(ffn, h, tgt_pad_mask, deterministic))
         if not cfg.decoder_prenorm:
             x = norm2(x)
         if cfg.check_inf:
@@ -246,11 +270,12 @@ class TransformerEncoder(nn.Module):
 
         layer_outputs = []
         for i in range(cfg.encoder_layers):
-            layer = TransformerEncoderLayer(cfg, kernel=self.kernel,
+            layer = TransformerEncoderLayer(cfg, layer_id=i, kernel=self.kernel,
                                             dtype=self.dtype, name=f"layers_{i}")
             if cfg.checkpoint_activations and not return_layers:
                 layer = nn.remat(TransformerEncoderLayer, static_argnums=(4, 5))(
-                    cfg, kernel=self.kernel, dtype=self.dtype, name=f"layers_{i}")
+                    cfg, layer_id=i, kernel=self.kernel, dtype=self.dtype,
+                    name=f"layers_{i}")
                 x = layer(x, attn_mask, bias, positions, deterministic, False)
             else:
                 x = layer(x, mask=attn_mask, bias=bias, positions=positions,
@@ -355,14 +380,15 @@ class TransformerDecoder(nn.Module):
         layer_outputs, self_attn_maps, cross_attn_maps = [], [], []
         for i in range(cfg.decoder_layers):
             layer_cls = TransformerDecoderLayer
-            layer = layer_cls(cfg, has_cross_attention=self.has_encoder,
+            layer = layer_cls(cfg, layer_id=i,
+                              has_cross_attention=self.has_encoder,
                               self_cache_len=self.self_cache_len,
                               cross_cache_len=self.cross_cache_len,
                               kernel=self.kernel, dtype=self.dtype,
                               name=f"layers_{i}")
             if cfg.checkpoint_activations and not decode and not return_weights:
                 layer = nn.remat(layer_cls, static_argnums=(7, 8, 9))(
-                    cfg, has_cross_attention=self.has_encoder,
+                    cfg, layer_id=i, has_cross_attention=self.has_encoder,
                     self_cache_len=self.self_cache_len,
                     cross_cache_len=self.cross_cache_len,
                     kernel=self.kernel, dtype=self.dtype, name=f"layers_{i}")

@@ -1,0 +1,450 @@
+"""Flash attention Pallas kernel for TPU (forward + backward).
+
+The reference relies on the external CUDA flash-attn package
+(pasero/models/modules.py:20-24, 696-705); this is the TPU-native equivalent:
+a blockwise streaming-softmax kernel that never materializes the (Sq, Sk)
+score matrix in HBM, with
+
+- causal masking and sliding windows (Mistral, modules.py:698) computed from
+  absolute block indices,
+- additive bias support (ALiBi / T5 relative buckets, modules.py:1028-1190),
+- GQA/MQA by indexing the KV head as h // group in the block index maps,
+- a custom VJP whose backward recomputes probabilities blockwise from the
+  saved logsumexp (flash-attention-2 style dq / dk / dv kernels).
+
+Shapes: q (B, H, Sq, D), k/v (B, Hkv, Sk, D). The public wrapper pads D to a
+multiple of 128 (lane width) and sequence lengths to the block size; padded
+key slots are masked via kv_mask, padded query rows are sliced off.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+BLOCK_Q = 128
+BLOCK_K = 128
+
+
+def _pick_blocks(Sq: int, Sk: int, D: int):
+    """Larger K blocks amortize loop overhead and give MXU-friendly
+    (BQ x D) @ (D x BK) shapes; cap VMEM at ~4MB of fp32 scores."""
+    bq = min(256, max(BLOCK_Q, 128))
+    bk = 128
+    while bk < min(Sk, 2048) and bq * (bk * 2) * 4 <= 4 * 1024 * 1024:
+        bk *= 2
+    return bq, min(bk, 2048)
+
+# set True to run kernels in the Pallas interpreter (CPU tests)
+INTERPRET = False
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, out_ref, lse_ref, *,
+                scale: float, causal: bool, window: Optional[int],
+                num_k_blocks: int, block_k: int):
+    """One (batch*head, q-block) program: stream over key blocks."""
+    qb = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32) * scale           # (BQ, D)
+    block_q = q.shape[0]
+
+    m = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l = jnp.zeros((block_q, 1), jnp.float32)
+    acc = jnp.zeros((block_q, q.shape[-1]), jnp.float32)
+
+    q_pos = qb * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 0)
+
+    def body(kb, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # (BQ, BK)
+        if bias_ref is not None:
+            s = s + bias_ref[0, :, pl.ds(kb * block_k, block_k)].astype(jnp.float32)
+        valid = mask_ref[0, 0, pl.ds(kb * block_k, block_k)] > 0      # (BK,)
+        ok = jnp.broadcast_to(valid[None, :], s.shape)
+        k_pos = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        if causal:
+            ok &= k_pos <= q_pos
+        if window is not None:
+            ok &= (q_pos - k_pos) < window
+        s = jnp.where(ok, s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    if causal:
+        # key blocks strictly after this q block contribute nothing
+        upper = jnp.minimum(num_k_blocks,
+                            ((qb + 1) * block_q + block_k - 1) // block_k)
+    else:
+        upper = num_k_blocks
+    m, l, acc = jax.lax.fori_loop(0, upper, body, (m, l, acc))
+
+    l_safe = jnp.where(l == 0, 1.0, l)
+    out_ref[0] = (acc / l_safe).astype(out_ref.dtype)
+    lse_ref[0, 0] = (m + jnp.log(l_safe))[:, 0]
+
+
+def _fwd(q, k, v, kv_mask, bias, scale, causal, window):
+    B, H, Sq, D = q.shape
+    Hkv, Sk = k.shape[1], k.shape[2]
+    group = H // Hkv
+    block_q, block_k = _pick_blocks(Sq, Sk, D)
+    num_k_blocks = Sk // block_k
+    grid = (B * H, Sq // block_q)
+
+    in_specs = [
+        pl.BlockSpec((1, block_q, D), lambda bh, qb: (bh, qb, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Sk, D), lambda bh, qb: (bh // group, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Sk, D), lambda bh, qb: (bh // group, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Sk), lambda bh, qb: (bh, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [
+        q.reshape(B * H, Sq, D),
+        k.reshape(B * Hkv, Sk, D),
+        v.reshape(B * Hkv, Sk, D),
+        jnp.broadcast_to(kv_mask[:, None, :], (B, H, Sk)
+                         ).reshape(B * H, 1, Sk).astype(jnp.int32),
+    ]
+    if bias is not None:
+        hb = bias.shape[1]
+        bias_bh = jnp.broadcast_to(bias, (B, H, Sq, Sk)).reshape(B * H, Sq, Sk)
+        in_specs.append(pl.BlockSpec((1, block_q, Sk),
+                                     lambda bh, qb: (bh, qb, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(bias_bh)
+        kernel = functools.partial(
+            _fwd_kernel, scale=scale, causal=causal, window=window,
+            num_k_blocks=num_k_blocks, block_k=block_k)
+    else:
+        def kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, lse_ref):
+            return _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, None, out_ref,
+                               lse_ref, scale=scale, causal=causal,
+                               window=window, num_k_blocks=num_k_blocks,
+                               block_k=block_k)
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        interpret=INTERPRET,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, block_q, D), lambda bh, qb: (bh, qb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda bh, qb: (bh, 0, qb),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * H, Sq, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, 1, Sq), jnp.float32),
+        ),
+    )(*args)
+    return out.reshape(B, H, Sq, D), lse.reshape(B, H, Sq)
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, do_ref, lse_ref,
+                   delta_ref, dq_ref, *, scale, causal, window,
+                   num_k_blocks, block_k):
+    qb = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0][:, None]
+    delta = delta_ref[0, 0][:, None]
+    block_q = q.shape[0]
+    q_pos = qb * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 0)
+    dq = jnp.zeros_like(q)
+
+    def body(kb, dq):
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if bias_ref is not None:
+            s = s + bias_ref[0, :, pl.ds(kb * block_k, block_k)].astype(jnp.float32)
+        valid = mask_ref[0, 0, pl.ds(kb * block_k, block_k)] > 0
+        ok = jnp.broadcast_to(valid[None, :], s.shape)
+        k_pos = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        if causal:
+            ok &= k_pos <= q_pos
+        if window is not None:
+            ok &= (q_pos - k_pos) < window
+        s = jnp.where(ok, s, NEG_INF)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        return dq + jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+
+    if causal:
+        upper = jnp.minimum(num_k_blocks, (qb + 1) * block_q // block_k + 1)
+    else:
+        upper = num_k_blocks
+    dq = jax.lax.fori_loop(0, upper, body, dq)
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, do_ref, lse_ref,
+                    delta_ref, dk_ref, dv_ref, *, scale, causal, window,
+                    num_q_blocks, block_q):
+    kb = pl.program_id(1)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    block_k = k.shape[0]
+    valid = mask_ref[0, 0] > 0                            # (BK,)
+    k_pos = kb * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1)
+    dk = jnp.zeros_like(k)
+    dv = jnp.zeros_like(v)
+
+    def body(qb, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
+        delta = delta_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
+        s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if bias_ref is not None:
+            s = s + bias_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        ok = jnp.broadcast_to(valid[None, :], s.shape)
+        q_pos = qb * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+        if causal:
+            ok &= k_pos <= q_pos
+        if window is not None:
+            ok &= (q_pos - k_pos) < window
+        s = jnp.where(ok, s, NEG_INF)
+        p = jnp.exp(s - lse)
+        dv_new = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk_new = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.float32)
+        return dk_new, dv_new
+
+    if causal:
+        lower = kb * block_k // block_q
+    else:
+        lower = 0
+    dk, dv = jax.lax.fori_loop(lower, num_q_blocks, body, (dk, dv))
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _bwd(scale, causal, window, residuals, g):
+    q, k, v, kv_mask, bias, out, lse = residuals
+    do = g
+    B, H, Sq, D = q.shape
+    Hkv, Sk = k.shape[1], k.shape[2]
+    group = H // Hkv
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+
+    mask_bh = jnp.broadcast_to(kv_mask[:, None, :], (B, H, Sk)
+                               ).reshape(B * H, 1, Sk).astype(jnp.int32)
+    q_r = q.reshape(B * H, Sq, D)
+    k_r = k.reshape(B * Hkv, Sk, D)
+    v_r = v.reshape(B * Hkv, Sk, D)
+    do_r = do.reshape(B * H, Sq, D)
+    lse_r = lse.reshape(B * H, 1, Sq)
+    delta_r = delta.reshape(B * H, 1, Sq)
+    bias_r = (jnp.broadcast_to(bias, (B, H, Sq, Sk)).reshape(B * H, Sq, Sk)
+              if bias is not None else None)
+
+    common_specs = dict(memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, Sk, D), lambda bh, blk: (bh // group, 0, 0),
+                           **common_specs)
+    # -- dq ------------------------------------------------------------------
+    dq_specs = [
+        pl.BlockSpec((1, BLOCK_Q, D), lambda bh, qb: (bh, qb, 0), **common_specs),
+        kv_spec, kv_spec,
+        pl.BlockSpec((1, 1, Sk), lambda bh, qb: (bh, 0, 0), **common_specs),
+    ]
+    dq_args = [q_r, k_r, v_r, mask_bh]
+    if bias_r is not None:
+        dq_specs.append(pl.BlockSpec((1, BLOCK_Q, Sk),
+                                     lambda bh, qb: (bh, qb, 0), **common_specs))
+        dq_args.append(bias_r)
+        dq_kernel = functools.partial(
+            _bwd_dq_kernel, scale=scale, causal=causal, window=window,
+            num_k_blocks=Sk // BLOCK_K, block_k=BLOCK_K)
+    else:
+        def dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
+                      delta_ref, dq_ref):
+            return _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, None, do_ref,
+                                  lse_ref, delta_ref, dq_ref, scale=scale,
+                                  causal=causal, window=window,
+                                  num_k_blocks=Sk // BLOCK_K, block_k=BLOCK_K)
+    dq_specs += [
+        pl.BlockSpec((1, BLOCK_Q, D), lambda bh, qb: (bh, qb, 0), **common_specs),
+        pl.BlockSpec((1, 1, BLOCK_Q), lambda bh, qb: (bh, 0, qb), **common_specs),
+        pl.BlockSpec((1, 1, BLOCK_Q), lambda bh, qb: (bh, 0, qb), **common_specs),
+    ]
+    dq_args += [do_r, lse_r, delta_r]
+    dq = pl.pallas_call(
+        dq_kernel, grid=(B * H, Sq // BLOCK_Q), in_specs=dq_specs,
+        interpret=INTERPRET,
+        out_specs=pl.BlockSpec((1, BLOCK_Q, D), lambda bh, qb: (bh, qb, 0),
+                               **common_specs),
+        out_shape=jax.ShapeDtypeStruct((B * H, Sq, D), q.dtype),
+    )(*dq_args)
+
+    # -- dk / dv (one program per (b*h, k-block), summed over groups after) --
+    dkv_specs = [
+        pl.BlockSpec((1, Sq, D), lambda bh, kb: (bh, 0, 0), **common_specs),
+        pl.BlockSpec((1, BLOCK_K, D), lambda bh, kb: (bh // group, kb, 0),
+                     **common_specs),
+        pl.BlockSpec((1, BLOCK_K, D), lambda bh, kb: (bh // group, kb, 0),
+                     **common_specs),
+        pl.BlockSpec((1, 1, BLOCK_K), lambda bh, kb: (bh, 0, kb), **common_specs),
+    ]
+    dkv_args = [q_r, k_r, v_r, mask_bh]
+    if bias_r is not None:
+        dkv_specs.append(pl.BlockSpec((1, Sq, BLOCK_K),
+                                      lambda bh, kb: (bh, 0, kb), **common_specs))
+        dkv_args.append(bias_r)
+        dkv_kernel = functools.partial(
+            _bwd_dkv_kernel, scale=scale, causal=causal, window=window,
+            num_q_blocks=Sq // BLOCK_Q, block_q=BLOCK_Q)
+    else:
+        def dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
+                       delta_ref, dk_ref, dv_ref):
+            return _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, None, do_ref,
+                                   lse_ref, delta_ref, dk_ref, dv_ref,
+                                   scale=scale, causal=causal, window=window,
+                                   num_q_blocks=Sq // BLOCK_Q, block_q=BLOCK_Q)
+    dkv_specs += [
+        pl.BlockSpec((1, Sq, D), lambda bh, kb: (bh, 0, 0), **common_specs),
+        pl.BlockSpec((1, 1, Sq), lambda bh, kb: (bh, 0, 0), **common_specs),
+        pl.BlockSpec((1, 1, Sq), lambda bh, kb: (bh, 0, 0), **common_specs),
+    ]
+    dkv_args += [do_r, lse_r, delta_r]
+    dk, dv = pl.pallas_call(
+        dkv_kernel, grid=(B * H, Sk // BLOCK_K), in_specs=dkv_specs,
+        interpret=INTERPRET,
+        out_specs=(
+            pl.BlockSpec((1, BLOCK_K, D), lambda bh, kb: (bh, kb, 0),
+                         **common_specs),
+            pl.BlockSpec((1, BLOCK_K, D), lambda bh, kb: (bh, kb, 0),
+                         **common_specs),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * H, Sk, D), k.dtype),
+            jax.ShapeDtypeStruct((B * H, Sk, D), v.dtype),
+        ),
+    )(*dkv_args)
+
+    dk = dk.reshape(B, H, Sk, D)
+    dv = dv.reshape(B, H, Sk, D)
+    if group > 1:  # sum query-head gradients into their shared KV head
+        dk = dk.reshape(B, Hkv, group, Sk, D).sum(axis=2)
+        dv = dv.reshape(B, Hkv, group, Sk, D).sum(axis=2)
+    dq = dq.reshape(B, H, Sq, D)
+    # kv_mask is boolean (non-differentiable); bias gradients are not
+    # propagated by the kernel (learned T5 biases should use the xla path)
+    dbias = jnp.zeros_like(bias) if bias is not None else None
+    return dq, dk, dv, None, dbias
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _flash(q, k, v, kv_mask, bias, scale, causal, window):
+    out, _ = _fwd(q, k, v, kv_mask, bias, scale, causal, window)
+    return out
+
+
+def _flash_fwd(q, k, v, kv_mask, bias, scale, causal, window):
+    out, lse = _fwd(q, k, v, kv_mask, bias, scale, causal, window)
+    return out, (q, k, v, kv_mask, bias, out, lse)
+
+
+def _flash_bwd(scale, causal, window, residuals, g):
+    return _bwd(scale, causal, window, residuals, g)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(q, k, v, mask=None, bias=None, scale: float = 1.0,
+                    causal: bool = False, window: Optional[int] = None):
+    """Public wrapper: pads shapes to kernel tiles and restores them.
+
+    q: (B, H, Sq, D); k/v: (B, Hkv, Sk, D) (GQA allowed, H % Hkv == 0).
+    mask: bool, broadcastable to (B, 1|H, Sq, Sk). The kernel itself only
+    supports key-validity masking (B, Sk) — full masks fall back to the last
+    two axes' any()-reduction over queries, which is exact for the padding and
+    causal masks produced by this codebase.
+    """
+    B, H, Sq, D = q.shape
+    Hkv, Sk = k.shape[1], k.shape[2]
+
+    kv_mask = None
+    extra_causal = causal
+    if mask is not None:
+        m = jnp.broadcast_to(mask, (B, mask.shape[1], Sq, Sk))
+        # key is usable if any query may attend it; per-(q,k) causal/window
+        # structure is reapplied inside the kernel
+        kv_mask = jnp.any(m[:, 0], axis=-2)
+    if kv_mask is None:
+        kv_mask = jnp.ones((B, Sk), bool)
+
+    # pad to tiles (the head dim is used as a full-array block, so any D that
+    # is a multiple of the 128-lane packing unit... smaller D is kept as-is
+    # since full-dim blocks are always legal; only sublane-align to 8)
+    D_pad = D if D % 8 == 0 else _ceil_to(D, 8)
+    block_q, block_k = _pick_blocks(max(Sq, BLOCK_Q), max(Sk, BLOCK_K), D)
+    Sq_pad = _ceil_to(Sq, block_q)
+    Sk_pad = _ceil_to(Sk, block_k)
+
+    def pad(x, s_axis, s_to, d_to):
+        cfg = [(0, 0)] * x.ndim
+        cfg[s_axis] = (0, s_to - x.shape[s_axis])
+        cfg[-1] = (0, d_to - x.shape[-1])
+        return jnp.pad(x, cfg)
+
+    q_p = pad(q, 2, Sq_pad, D_pad)
+    k_p = pad(k, 2, Sk_pad, D_pad)
+    v_p = pad(v, 2, Sk_pad, D_pad)
+    kv_mask_p = jnp.pad(kv_mask, ((0, 0), (0, Sk_pad - Sk)))
+    bias_p = None
+    if bias is not None:
+        bias_p = jnp.pad(bias.astype(jnp.float32),
+                         ((0, 0), (0, 0), (0, Sq_pad - Sq), (0, Sk_pad - Sk)))
+
+    out = _flash(q_p, k_p, v_p, kv_mask_p, bias_p, scale, extra_causal, window)
+    return out[:, :, :Sq, :D]

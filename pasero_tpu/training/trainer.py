@@ -192,8 +192,9 @@ class Trainer:
             prompt_mask = shift_targets(
                 batch["prompt_mask"].astype(jnp.int32), 0).astype(bool)
             kwargs = self._model_kwargs(batch, deterministic=False)
-            out = model.apply({"params": params}, targets=None,
-                              rngs={"dropout": dropout_rng}, **kwargs)
+            out, mutated = model.apply(
+                {"params": params}, targets=None,
+                rngs={"dropout": dropout_rng}, mutable=["losses"], **kwargs)
             logits = out["logits"]
             from ..models.transformer import cross_entropy_loss
             weights = target_mask.astype(jnp.float32)
@@ -202,6 +203,11 @@ class Trainer:
             loss_sum, nll_sum, _ = cross_entropy_loss(
                 logits, targets, weights, label_smoothing)
             num_tokens = jnp.sum(target_mask)
+            # auxiliary losses (MoE load balancing) are per-batch scalars; the
+            # CE sum is normalized by token count later, so scale them up
+            # (mixture_of_experts.py:560-589 does CE + lb * ntokens)
+            aux = sum(jax.tree_util.tree_leaves(mutated.get("losses", {})))
+            loss_sum = loss_sum + aux * num_tokens
             return loss_sum, (nll_sum, num_tokens)
 
         def grad_step(params, batch, dropout_rng):

@@ -1,0 +1,126 @@
+"""Flash-attention kernel vs XLA reference (interpreter mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pasero_tpu.ops.flash_attention as fa
+from pasero_tpu.models.attention import dot_product_attention
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    fa.INTERPRET = True
+    yield
+    fa.INTERPRET = False
+
+
+def make_qkv(B=2, H=4, Hkv=None, Sq=128, Sk=128, D=64, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(size=(B, H, Sq, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, Hkv or H, Sk, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Hkv or H, Sk, D)), jnp.float32)
+    return q, k, v
+
+
+def reference(q, k, v, mask=None, bias=None, scale=1.0, causal=False,
+              window=None):
+    B, H, Sq, D = q.shape
+    Hkv, Sk = k.shape[1], k.shape[2]
+    if Hkv != H:
+        k = jnp.repeat(k, H // Hkv, axis=1)
+        v = jnp.repeat(v, H // Hkv, axis=1)
+    full_mask = mask
+    if causal:
+        c = jnp.tril(jnp.ones((Sq, Sk), bool))[None, None]
+        full_mask = c if full_mask is None else (full_mask & c)
+    if window is not None:
+        pos_q = jnp.arange(Sq)[:, None]
+        pos_k = jnp.arange(Sk)[None, :]
+        w = ((pos_q - pos_k) < window)[None, None]
+        full_mask = w if full_mask is None else (full_mask & w)
+    return dot_product_attention(q, k, v, mask=full_mask, bias=bias,
+                                 scale=scale)
+
+
+def test_forward_full():
+    q, k, v = make_qkv()
+    out = fa.flash_attention(q, k, v, scale=0.125)
+    ref = reference(q, k, v, scale=0.125)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_forward_causal_and_padding():
+    q, k, v = make_qkv(Sq=128, Sk=128)
+    mask = jnp.ones((2, 1, 128, 128), bool).at[:, :, :, 100:].set(False)
+    out = fa.flash_attention(q, k, v, mask=mask, scale=0.125, causal=True)
+    ref = reference(q, k, v, mask=mask, scale=0.125, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_forward_unaligned_shapes():
+    q, k, v = make_qkv(Sq=70, Sk=90, D=48)
+    mask = jnp.ones((2, 1, 70, 90), bool).at[:, :, :, 80:].set(False)
+    out = fa.flash_attention(q, k, v, mask=mask, scale=0.2)
+    ref = reference(q, k, v, mask=mask, scale=0.2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_forward_gqa():
+    q, k, v = make_qkv(H=8, Hkv=2)
+    out = fa.flash_attention(q, k, v, scale=0.125, causal=True)
+    ref = reference(q, k, v, scale=0.125, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_forward_bias_and_window():
+    q, k, v = make_qkv(Sq=128, Sk=128)
+    bias = jnp.asarray(np.random.default_rng(3).normal(size=(2, 4, 128, 128)),
+                       jnp.float32)
+    out = fa.flash_attention(q, k, v, bias=bias, scale=0.125, causal=True,
+                             window=32)
+    ref = reference(q, k, v, bias=bias, scale=0.125, causal=True, window=32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_backward_matches_xla():
+    q, k, v = make_qkv(B=1, H=2, Sq=128, Sk=128, D=64)
+    mask = jnp.ones((1, 1, 128, 128), bool).at[:, :, :, 110:].set(False)
+
+    def loss_flash(q, k, v):
+        out = fa.flash_attention(q, k, v, mask=mask, scale=0.125, causal=True)
+        return jnp.sum(out * out)
+
+    def loss_ref(q, k, v):
+        out = reference(q, k, v, mask=mask, scale=0.125, causal=True)
+        return jnp.sum(out * out)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3, rtol=5e-3,
+                                   err_msg=f"d{name} mismatch")
+
+
+def test_backward_gqa():
+    q, k, v = make_qkv(B=1, H=4, Hkv=2, Sq=128, Sk=128)
+
+    def loss(fn):
+        def inner(q, k, v):
+            return jnp.sum(fn(q, k, v) ** 2)
+        return inner
+
+    flash_fn = lambda q, k, v: fa.flash_attention(q, k, v, scale=0.125)
+    ref_fn = lambda q, k, v: reference(q, k, v, scale=0.125)
+    g1 = jax.grad(loss(flash_fn), argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss(ref_fn), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3, rtol=5e-3)
