@@ -155,14 +155,34 @@ def run_training(cfg):
 
     model_cls, model_cfg_cls = get_model_cls(cfg.arch)
     task.setup_for_model(cfg.model_cfg)
+    task.register_corpora(*train_corpora)
     save_config_files(cfg, task)
+
+    from pasero_tpu.models.adapters import adapter_names
+    enc_names = adapter_names(cfg.model_cfg, task, False)
+    dec_names = adapter_names(cfg.model_cfg, task, True)
+    adapter_info = {
+        "encoder_names": enc_names,
+        "encoder_by": getattr(cfg.model_cfg, "encoder_adapters_by", []) or [],
+        "decoder_names": dec_names,
+        "decoder_by": getattr(cfg.model_cfg, "decoder_adapters_by", []) or [],
+    }
+    # adapters-by implies homogeneous batching on the same keys
+    # (pasero/models/adapters.py:62-121 sets batch_by automatically)
+    by_keys = list(dict.fromkeys(
+        list(adapter_info["encoder_by"]) + list(adapter_info["decoder_by"])))
+    if by_keys:
+        cfg.dataset_cfg.batch_by = list(dict.fromkeys(
+            (cfg.dataset_cfg.batch_by or []) + by_keys))
 
     model = model_cls(cfg.model_cfg,
                       src_vocab_size=(task.encoder_num_embeddings
                                       or task.decoder_num_embeddings),
-                      tgt_vocab_size=task.decoder_num_embeddings)
+                      tgt_vocab_size=task.decoder_num_embeddings,
+                      num_encoder_adapters=len(enc_names),
+                      num_decoder_adapters=len(dec_names))
     mesh = make_mesh(cfg.dp_size, cfg.tp_size, cfg.ep_size)
-    trainer = Trainer(cfg, task, model, mesh)
+    trainer = Trainer(cfg, task, model, mesh, adapter_info=adapter_info)
 
     dataset_cls = DATASET_REGISTRY[cfg.dataset_type]
     task.train()

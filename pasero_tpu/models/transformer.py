@@ -23,6 +23,7 @@ from ..config import TransformerConfig, register_model
 from .attention import MultiheadAttention, NEG_INF
 from .modules import (AdapterLayer, ConvolutionSubsampler, Embedding,
                       FeedForward, Linear, make_norm)
+from .adapters import AdapterStack
 from .moe import MoEFeedForward, moe_expert_count
 from .positional import PositionalEmbedding, T5RelativeBias, alibi_bias
 
@@ -213,12 +214,13 @@ class TransformerDecoderLayer(nn.Module):
 class TransformerEncoder(nn.Module):
     cfg: TransformerConfig
     vocab_size: int
+    num_adapters: int = 0
     kernel: str = "xla"
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, src_tokens, src_mask=None, deterministic=True,
-                 return_layers=False):
+                 return_layers=False, adapter_ids=None):
         """src_tokens: (B, S) int ids OR (B, T, F) float features (speech).
         src_mask: bool (B, S) True at real tokens."""
         cfg = self.cfg
@@ -280,6 +282,14 @@ class TransformerEncoder(nn.Module):
             else:
                 x = layer(x, mask=attn_mask, bias=bias, positions=positions,
                           deterministic=deterministic)
+            if self.num_adapters and adapter_ids is not None:
+                layer_ids = getattr(cfg, "encoder_adapter_layer_ids", None)
+                if layer_ids is None or i in layer_ids:
+                    x = AdapterStack(
+                        num_adapters=self.num_adapters,
+                        bottleneck_dim=getattr(cfg, "encoder_adapter_dim", 64),
+                        zero_init=getattr(cfg, "adapter_zero_init", False),
+                        dtype=self.dtype, name=f"adapters_{i}")(x, adapter_ids)
             if return_layers:
                 layer_outputs.append(x)
 
@@ -294,6 +304,7 @@ class TransformerDecoder(nn.Module):
     cfg: TransformerConfig
     vocab_size: int
     has_encoder: bool = True
+    num_adapters: int = 0
     self_cache_len: int = 0
     cross_cache_len: int = 0
     kernel: str = "xla"
@@ -303,7 +314,7 @@ class TransformerDecoder(nn.Module):
     def __call__(self, tokens, encoder_out=None, encoder_mask=None,
                  tgt_mask=None, positions=None, decode=False,
                  self_kv_mask=None, deterministic=True, return_layers=False,
-                 return_weights=False):
+                 return_weights=False, adapter_ids=None):
         """tokens: (B, T) decoder input ids. Returns logits (B, T, V) float32.
 
         self_kv_mask: (B, cache_len) bool — validity of KV-cache slots at
@@ -404,6 +415,14 @@ class TransformerDecoder(nn.Module):
                 cross_attn_maps.append(cw)
             else:
                 x = result
+            if self.num_adapters and adapter_ids is not None:
+                layer_ids = getattr(cfg, "decoder_adapter_layer_ids", None)
+                if layer_ids is None or i in layer_ids:
+                    x = AdapterStack(
+                        num_adapters=self.num_adapters,
+                        bottleneck_dim=getattr(cfg, "decoder_adapter_dim", 64),
+                        zero_init=getattr(cfg, "adapter_zero_init", False),
+                        dtype=self.dtype, name=f"adapters_{i}")(x, adapter_ids)
             if return_layers:
                 layer_outputs.append(x)
 
@@ -462,6 +481,8 @@ class Transformer(nn.Module):
     cfg: TransformerConfig
     src_vocab_size: int
     tgt_vocab_size: Optional[int] = None
+    num_encoder_adapters: int = 0
+    num_decoder_adapters: int = 0
     self_cache_len: int = 0
     cross_cache_len: int = 0
     kernel: str = "xla"
@@ -473,39 +494,47 @@ class Transformer(nn.Module):
         self.is_encoder_decoder = cfg.model_type != "decoder"
         if self.is_encoder_decoder:
             self.encoder = TransformerEncoder(
-                cfg, vocab_size=self.src_vocab_size, kernel=self.kernel,
+                cfg, vocab_size=self.src_vocab_size,
+                num_adapters=self.num_encoder_adapters, kernel=self.kernel,
                 dtype=self.dtype)
         self.decoder = TransformerDecoder(
             cfg, vocab_size=tgt_vocab, has_encoder=self.is_encoder_decoder,
+            num_adapters=self.num_decoder_adapters,
             self_cache_len=self.self_cache_len,
             cross_cache_len=self.cross_cache_len, kernel=self.kernel,
             dtype=self.dtype)
 
-    def encode(self, src_tokens, src_mask=None, deterministic=True):
+    def encode(self, src_tokens, src_mask=None, deterministic=True,
+               adapter_ids=None):
         return self.encoder(src_tokens, src_mask=src_mask,
-                            deterministic=deterministic)
+                            deterministic=deterministic,
+                            adapter_ids=adapter_ids)
 
     def decode_step(self, tokens, encoder_out=None, encoder_mask=None,
-                    positions=None, tgt_mask=None, self_kv_mask=None):
+                    positions=None, tgt_mask=None, self_kv_mask=None,
+                    adapter_ids=None):
         """Single incremental decoding call (updates the 'cache' collection)."""
         return self.decoder(tokens, encoder_out=encoder_out,
                             encoder_mask=encoder_mask, positions=positions,
                             tgt_mask=tgt_mask, decode=True,
-                            self_kv_mask=self_kv_mask, deterministic=True)
+                            self_kv_mask=self_kv_mask, deterministic=True,
+                            adapter_ids=adapter_ids)
 
     def __call__(self, src_tokens=None, src_mask=None, decoder_input=None,
                  targets=None, prompt_mask=None, deterministic=True,
-                 return_layers=False, return_weights=False):
+                 return_layers=False, return_weights=False,
+                 encoder_adapter_ids=None, decoder_adapter_ids=None):
         cfg = self.cfg
         encoder_out = encoder_mask = None
         if self.is_encoder_decoder:
             encoder_out, encoder_mask = self.encode(
-                src_tokens, src_mask, deterministic=deterministic)
+                src_tokens, src_mask, deterministic=deterministic,
+                adapter_ids=encoder_adapter_ids)
 
         result = self.decoder(
             decoder_input, encoder_out=encoder_out, encoder_mask=encoder_mask,
             deterministic=deterministic, return_layers=return_layers,
-            return_weights=return_weights)
+            return_weights=return_weights, adapter_ids=decoder_adapter_ids)
         logits, extras = result if isinstance(result, tuple) else (result, {})
 
         out = {"logits": logits, **extras}

@@ -54,11 +54,13 @@ def shift_targets(decoder_input, pad_idx: int):
 
 class Trainer:
     def __init__(self, cfg, task, model, mesh: Mesh,
-                 metrics: Optional[Metrics] = None):
+                 metrics: Optional[Metrics] = None,
+                 adapter_info: Optional[dict] = None):
         self.cfg = cfg
         self.task = task
         self.model = model
         self.mesh = mesh
+        self.adapter_info = adapter_info or {}
         self.metrics = metrics or Metrics(window=cfg.log_interval)
         self.rules = list(fsdp_rules() if cfg.fsdp else LOGICAL_RULES)
         self.pad_idx = model.cfg.padding_idx
@@ -77,6 +79,10 @@ class Trainer:
         batch = {"decoder_input": np.full((B, T), self.pad_idx, np.int32),
                  "target_mask": np.zeros((B, T), bool),
                  "prompt_mask": np.zeros((B, T), bool)}
+        if self.model.num_encoder_adapters:
+            batch["encoder_adapter_ids"] = np.zeros((1,), np.int32)
+        if self.model.num_decoder_adapters:
+            batch["decoder_adapter_ids"] = np.zeros((1,), np.int32)
         if self.model.cfg.model_type != "decoder":
             if self.model.cfg.input_dim:  # speech features
                 batch["src_tokens"] = np.zeros(
@@ -92,6 +98,10 @@ class Trainer:
         if "src_tokens" in batch:
             kwargs["src_tokens"] = batch["src_tokens"]
             kwargs["src_mask"] = batch["src_mask"]
+        if "encoder_adapter_ids" in batch:
+            kwargs["encoder_adapter_ids"] = batch["encoder_adapter_ids"]
+        if "decoder_adapter_ids" in batch:
+            kwargs["decoder_adapter_ids"] = batch["decoder_adapter_ids"]
         return kwargs
 
     def _init_params(self):
@@ -124,8 +134,14 @@ class Trainer:
         logger.info(f"initialized {n_params:,} parameters")
 
     def _default_trainable(self, name: str) -> bool:
+        from ..config.models import AdapterTransformerConfig
         if self.model.cfg.lora_rank > 0:
             return "lora_" in name
+        if (isinstance(self.model.cfg, AdapterTransformerConfig)
+                and not self.model.cfg.train_all_params
+                and (self.model.num_encoder_adapters
+                     or self.model.num_decoder_adapters)):
+            return "adapters_" in name
         return True
 
     def _build_optimizer(self):
@@ -268,6 +284,22 @@ class Trainer:
                   "src_tokens", "src_mask"):
             if k in batch:
                 out[k] = jax.device_put(batch[k], spec)
+        # per-batch adapter activation from homogeneous-batch metadata
+        # (pasero/models/adapters.py:185-229)
+        meta = batch.get("meta", {})
+        info = self.adapter_info
+        from ..models.adapters import adapter_ids_from_meta
+        repl = NamedSharding(self.mesh, P())
+        if self.model.num_encoder_adapters:
+            ids = adapter_ids_from_meta(info.get("encoder_names", []),
+                                        info.get("encoder_by", []), meta)
+            out["encoder_adapter_ids"] = jax.device_put(
+                np.asarray(ids or [0], np.int32), repl)
+        if self.model.num_decoder_adapters:
+            ids = adapter_ids_from_meta(info.get("decoder_names", []),
+                                        info.get("decoder_by", []), meta)
+            out["decoder_adapter_ids"] = jax.device_put(
+                np.asarray(ids or [0], np.int32), repl)
         return out
 
     def train_step(self, batch_iterator) -> dict:
