@@ -2,3 +2,4 @@
 
 from .transformer import (Transformer, TransformerDecoder, TransformerEncoder,
                           cross_entropy_loss, positions_from_mask)
+from .hybrid import HybridTransformer, LSTMDecoder
