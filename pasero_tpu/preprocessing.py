@@ -133,6 +133,10 @@ class Dictionary:
         return self.tokens[idx]
 
     def __setitem__(self, idx: int, token: str):
+        if idx >= len(self.tokens):
+            # a model's special ids may exceed a small dictionary (e.g. Whisper
+            # declares bos at 50258); grow with placeholder tokens
+            self.extend(idx + 1)
         self.tokens[idx] = token
         self.indices[token] = idx
 
