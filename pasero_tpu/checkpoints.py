@@ -27,6 +27,8 @@ logger = logging.getLogger("checkpoints")
 
 
 def flatten_params(params) -> dict:
+    from flax import linen as nn
+    params = nn.meta.unbox(params)  # strip Partitioned metadata if present
     flat = traverse_util.flatten_dict(params, sep="/")
     return {k: np.asarray(v) for k, v in flat.items()}
 

@@ -149,15 +149,17 @@ class LayerNorm(nn.Module):
         return y.astype(self.dtype)
 
 
-def make_norm(cfg, dtype) -> nn.Module:
+def make_norm(cfg, dtype, name=None) -> nn.Module:
     if cfg.rms_norm:
-        return RMSNorm(epsilon=cfg.norm_eps, dtype=dtype)
-    return LayerNorm(epsilon=cfg.norm_eps, use_bias=cfg.norm_bias, dtype=dtype)
+        return RMSNorm(epsilon=cfg.norm_eps, dtype=dtype, name=name)
+    return LayerNorm(epsilon=cfg.norm_eps, use_bias=cfg.norm_bias, dtype=dtype,
+                     name=name)
 
 
 ACTIVATIONS = {
     "relu": jax.nn.relu,
-    "gelu": jax.nn.gelu,
+    # exact (erf) gelu like torch's default; 'gelu_tanh' is the approximation
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
     "gelu_tanh": lambda x: jax.nn.gelu(x, approximate=True),
 }
 
@@ -249,7 +251,7 @@ class ConvolutionSubsampler(nn.Module):
                 a, b = jnp.split(x, 2, axis=-1)
                 x = a * jax.nn.sigmoid(b)
             else:
-                x = jax.nn.gelu(x)
+                x = jax.nn.gelu(x, approximate=False)
             lengths = (lengths + 2 * (k // 2) - k) // s + 1
         if self.out_dim is not None and x.shape[-1] != self.out_dim:
             x = Linear(self.out_dim, dtype=self.dtype,

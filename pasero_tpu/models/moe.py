@@ -114,6 +114,14 @@ class MoEFeedForward(nn.Module):
                                    "load": ce * tokens.shape[0]})
             return out.reshape(B, S, D).astype(self.dtype)
 
+        gated = self.activation in ("swiglu", "geglu")
+        if gated:  # Mixtral-style experts: act(gate(x)) * up(x)
+            w_gate = self.param(
+                "experts_gate",
+                nn.with_logical_partitioning(default_kernel_init,
+                                             (expert_axis, "embed", "mlp")),
+                (E, D, self.ffn_dim), jnp.float32)
+
         gating = top2_gating(logits, pad_mask=flat_mask,
                              capacity_factor=self.capacity_factor)
         expert_in = dispatch_tokens(tokens.astype(self.dtype),
@@ -122,7 +130,13 @@ class MoEFeedForward(nn.Module):
                        preferred_element_type=self.dtype)
         if self.use_bias:
             h = h + b_in[:, None, :].astype(self.dtype)
-        h = act(h)
+        if gated:
+            g = jnp.einsum("ecd,edf->ecf", expert_in, w_gate.astype(self.dtype),
+                           preferred_element_type=self.dtype)
+            gate_act = jax.nn.silu if self.activation == "swiglu" else jax.nn.gelu
+            h = gate_act(g) * h
+        else:
+            h = act(h)
         expert_out = jnp.einsum("ecf,efd->ecd", h, w_out.astype(self.dtype),
                                 preferred_element_type=self.dtype)
         if self.use_bias:

@@ -85,8 +85,9 @@ class TransformerEncoderLayer(nn.Module):
                        if cfg.encoder_positional_encoding == "rotary" else None),
             dropout=cfg.attention_dropout, causal=False,
             kernel=self.kernel, dtype=self.dtype, name="self_attn")
-        norm1 = make_norm(cfg, self.dtype)
-        norm2 = norm1 if cfg.shared_norm else make_norm(cfg, self.dtype)
+        norm1 = make_norm(cfg, self.dtype, name="self_attn_norm")
+        norm2 = norm1 if cfg.shared_norm else make_norm(cfg, self.dtype,
+                                                        name="ffn_norm")
         ffn = make_ffn(cfg, False, self.layer_id, self.dtype)
         pad_mask = mask[:, 0, 0, :] if mask is not None else None
         dropout = nn.Dropout(rate=cfg.dropout, deterministic=deterministic)
@@ -145,8 +146,9 @@ class TransformerDecoderLayer(nn.Module):
             dropout=cfg.attention_dropout, causal=True,
             cache_len=self.self_cache_len, kernel=self.kernel,
             dtype=self.dtype, name="self_attn")
-        norm1 = make_norm(cfg, self.dtype)
-        norm2 = norm1 if cfg.shared_norm else make_norm(cfg, self.dtype)
+        norm1 = make_norm(cfg, self.dtype, name="self_attn_norm")
+        norm2 = norm1 if cfg.shared_norm else make_norm(cfg, self.dtype,
+                                                        name="ffn_norm")
         cross_weights = None
 
         residual = x
@@ -178,7 +180,7 @@ class TransformerDecoderLayer(nn.Module):
             x = norm1(x)
 
         if self.has_cross_attention:
-            cross_norm = make_norm(cfg, self.dtype)
+            cross_norm = make_norm(cfg, self.dtype, name="cross_attn_norm")
             cross_attn = MultiheadAttention(
                 num_heads=cfg.decoder_attention_heads,
                 use_bias=cfg.has_bias, key_bias=cfg.attention_key_bias,
@@ -215,6 +217,7 @@ class TransformerEncoder(nn.Module):
     cfg: TransformerConfig
     vocab_size: int
     num_adapters: int = 0
+    shared_embed: Optional[Embedding] = None
     kernel: str = "xla"
     dtype: Dtype = jnp.bfloat16
 
@@ -240,8 +243,10 @@ class TransformerEncoder(nn.Module):
             S = x.shape[1]
             src_mask = jnp.arange(S)[None, :] < lengths[:, None]
         else:
-            x = Embedding(self.vocab_size, cfg.embed_dim, dtype=self.dtype,
-                          name="embed_tokens")(src_tokens)
+            embed = self.shared_embed or Embedding(
+                self.vocab_size, cfg.embed_dim, dtype=self.dtype,
+                name="embed_tokens")
+            x = embed(src_tokens)
             if src_mask is None:
                 src_mask = src_tokens != cfg.padding_idx
 
@@ -257,7 +262,7 @@ class TransformerEncoder(nn.Module):
             )(x, positions)
 
         if cfg.encoder_embed_norm:
-            x = make_norm(cfg, self.dtype)(x)
+            x = make_norm(cfg, self.dtype, name="embed_norm")(x)
         embed_dropout = cfg.embed_dropout if cfg.embed_dropout is not None else cfg.dropout
         x = nn.Dropout(rate=embed_dropout, deterministic=deterministic)(x)
 
@@ -294,7 +299,7 @@ class TransformerEncoder(nn.Module):
                 layer_outputs.append(x)
 
         if cfg.encoder_prenorm:
-            x = make_norm(cfg, self.dtype)(x)
+            x = make_norm(cfg, self.dtype, name="final_norm")(x)
         if return_layers:
             return x, src_mask, layer_outputs
         return x, src_mask
@@ -305,6 +310,7 @@ class TransformerDecoder(nn.Module):
     vocab_size: int
     has_encoder: bool = True
     num_adapters: int = 0
+    shared_embed: Optional[Embedding] = None
     self_cache_len: int = 0
     cross_cache_len: int = 0
     kernel: str = "xla"
@@ -320,8 +326,9 @@ class TransformerDecoder(nn.Module):
         self_kv_mask: (B, cache_len) bool — validity of KV-cache slots at
         decode time (False at left-pad prompt slots)."""
         cfg = self.cfg
-        embed = Embedding(self.vocab_size, cfg.embed_dim, dtype=self.dtype,
-                          name="embed_tokens")
+        embed = self.shared_embed or Embedding(
+            self.vocab_size, cfg.embed_dim, dtype=self.dtype,
+            name="embed_tokens")
         x = embed(tokens)
         if cfg.scale_embed:
             x = x * (cfg.embed_dim ** 0.5)
@@ -341,7 +348,7 @@ class TransformerDecoder(nn.Module):
             )(x, positions)
 
         if cfg.decoder_embed_norm:
-            x = make_norm(cfg, self.dtype)(x)
+            x = make_norm(cfg, self.dtype, name="embed_norm")(x)
         embed_dropout = cfg.embed_dropout if cfg.embed_dropout is not None else cfg.dropout
         x = nn.Dropout(rate=embed_dropout, deterministic=deterministic)(x)
 
@@ -427,7 +434,7 @@ class TransformerDecoder(nn.Module):
                 layer_outputs.append(x)
 
         if cfg.decoder_prenorm:
-            x = make_norm(cfg, self.dtype)(x)
+            x = make_norm(cfg, self.dtype, name="final_norm")(x)
 
         if cfg.tied_output_projection:
             logits = embed.attend(x)
@@ -492,14 +499,20 @@ class Transformer(nn.Module):
         cfg = self.cfg
         tgt_vocab = self.tgt_vocab_size or self.src_vocab_size
         self.is_encoder_decoder = cfg.model_type != "decoder"
+        speech = bool(cfg.input_dim)
+        shared = None
+        if (self.is_encoder_decoder and cfg.shared_embeddings and not speech
+                and self.src_vocab_size == tgt_vocab):
+            shared = Embedding(tgt_vocab, cfg.embed_dim, dtype=self.dtype,
+                               name="shared_embed")
         if self.is_encoder_decoder:
             self.encoder = TransformerEncoder(
                 cfg, vocab_size=self.src_vocab_size,
-                num_adapters=self.num_encoder_adapters, kernel=self.kernel,
-                dtype=self.dtype)
+                num_adapters=self.num_encoder_adapters, shared_embed=shared,
+                kernel=self.kernel, dtype=self.dtype)
         self.decoder = TransformerDecoder(
             cfg, vocab_size=tgt_vocab, has_encoder=self.is_encoder_decoder,
-            num_adapters=self.num_decoder_adapters,
+            num_adapters=self.num_decoder_adapters, shared_embed=shared,
             self_cache_len=self.self_cache_len,
             cross_cache_len=self.cross_cache_len, kernel=self.kernel,
             dtype=self.dtype)
