@@ -1,0 +1,41 @@
+"""pasero-serve: HTTP model server (pasero/cli/serve.py).
+
+Usage: pasero-serve MODEL_DIR [MODEL_DIR2 ...] [--port 8000]
+                    [--retriever-url http://host:8001]
+Model names default to the directory basename; append ':name' to override.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+
+def main(argv=None):
+    from pasero_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
+    parser = argparse.ArgumentParser()
+    parser.add_argument("models", nargs="+",
+                        help="model directories, optionally 'PATH:name'")
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--retriever-url")
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s | %(name)s | %(message)s")
+
+    from pasero_tpu.decoding.generator import TextGenerator
+    from pasero_tpu.serving import serve
+    models = {}
+    for spec in args.models:
+        path, _, name = spec.partition(":")
+        name = name or os.path.basename(os.path.normpath(path))
+        models[name] = TextGenerator.build(path)
+    serve(models, host=args.host, port=args.port,
+          retriever_url=args.retriever_url)
+
+
+if __name__ == "__main__":
+    main()
