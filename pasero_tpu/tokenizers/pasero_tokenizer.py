@@ -159,6 +159,14 @@ class PaseroTokenizer:
         self.merges_reverse = {a + b: (a, b) for a, b in self.merges}
         self.vocab = set(vocab) if vocab else None
         self._cache: dict[str, list[str]] = {}
+        self._native = None
+        try:  # C++ merge core (native/bpe_core.cpp); python fallback otherwise
+            from .native import NativeBPE
+            ordered = [p for p, _ in sorted(self.merges.items(),
+                                            key=lambda kv: kv[1])]
+            self._native = NativeBPE(ordered)
+        except Exception:
+            self._native = None
 
     def __len__(self) -> int:
         return len(self.merges)
@@ -258,6 +266,13 @@ class PaseroTokenizer:
 
     def _encode(self, word: str, dropout: float = 0.0) -> list[str]:
         """Apply merges in rank order until none applies."""
+        if self._native is not None and not dropout:
+            pieces = self._native.encode_word(word)
+            if pieces is not None:
+                out: list[str] = []
+                for piece in pieces:
+                    out.extend(self._restrict(piece))
+                return out
         symbols = list(word)
         while len(symbols) > 1:
             candidates = {pair: self.merges[pair]

@@ -151,3 +151,21 @@ def test_reference_parity(corpus_file, tmp_path):
     for line in CORPUS[:8] + ["Unseen MIXED CaseWords here", "numbers 12345 and, punct!"]:
         assert ours.tokenize(line) == ref_model.tokenize(line)
         assert own.tokenize(line) == ref_model.tokenize(line)
+
+
+def test_native_bpe_matches_python(trained):
+    """The C++ merge core and the python loop produce identical pieces."""
+    model, _, path = trained
+    if model._native is None:
+        pytest.skip("native BPE core unavailable")
+    import copy
+    py_model = PaseroTokenizer(path)
+    py_model._native = None  # force the python path
+    words = ["jungle", "welcome", "diamonds", "unseenwordform", "a",
+             "x" * 50, "日本語テスト", "émotions"]
+    for w in words:
+        assert model._encode("▁" + w) == py_model._encode("▁" + w), w
+    # full-sentence parity incl. inline casing
+    for line in CORPUS[:4] + ["Unseen MIXED CaseWords with 123 and Ünïcödé"]:
+        py_model._cache.clear(); model._cache.clear()
+        assert model.tokenize(line) == py_model.tokenize(line)
