@@ -72,6 +72,9 @@ class TextGenerator:
         self._decode_models: dict = {}
         self._encode_fn = None
         self.rng = jax.random.PRNGKey(cfg.seed or 42)
+        if getattr(cfg, "benchmark", False):
+            from ..utils.benchmark import benchmark
+            benchmark.enable()
         if start:
             self.start_model()
 
@@ -237,10 +240,13 @@ class TextGenerator:
         order = np.argsort([len(s["decoder_input"]) for s in samples])
         hypotheses: list = [None] * len(samples)
         wall = time.time()
+        from ..utils.benchmark import benchmark
         for start in range(0, len(order), 16):
             chunk = [samples[i] for i in order[start:start + 16]]
-            batch = self._prepare_batch(chunk, max_new)
-            result = self._decode_batch(batch, merged)
+            with benchmark("prepare_batch"):
+                batch = self._prepare_batch(chunk, max_new)
+            with benchmark("decode"):
+                result = self._decode_batch(batch, merged)
             for row, sample in enumerate(chunk):
                 hyps = []
                 for k in range(min(nbest, result["tokens"].shape[1])):

@@ -65,6 +65,9 @@ class Trainer:
         self.rules = list(fsdp_rules() if cfg.fsdp else LOGICAL_RULES)
         self.pad_idx = model.cfg.padding_idx
         self.rng = jax.random.PRNGKey(cfg.seed or 0)
+        if getattr(cfg, "benchmark", False):
+            from ..utils.benchmark import benchmark
+            benchmark.enable()
 
         self._init_params()
         self._build_optimizer()
