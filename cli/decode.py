@@ -34,11 +34,26 @@ def main():
     metrics = cfg.metrics or []
     totals: dict = {}
     for corpus in corpora:
-        results = generator.decode_corpus(
-            corpus, buffer_size=cfg.buffer_size, max_lines=cfg.max_lines,
-            verbose=cfg.verbose, quiet=cfg.quiet, continue_=cfg.continue_,
-            metrics=metrics, beam_size=cfg.beam_size,
-            max_output_len=cfg.max_output_len, sampling=cfg.sampling)
+        if cfg.teacher_forcing:
+            # score the references instead of free decoding (EvalConfig)
+            inputs = [l.strip() for l in corpus.input_file]
+            refs = [l.strip() for l in open(corpus.ref_path)]                 if corpus.ref_path else [None] * len(inputs)
+            if cfg.max_lines:
+                inputs, refs = inputs[:cfg.max_lines], refs[:cfg.max_lines]
+            scored = generator.score(inputs, refs)
+            import numpy as np
+            results = {"nll": round(float(np.mean([h["nll"] for h in scored])), 3),
+                       "lines": len(scored)}
+        else:
+            results = generator.decode_corpus(
+                corpus, buffer_size=cfg.buffer_size, max_lines=cfg.max_lines,
+                verbose=cfg.verbose, quiet=cfg.quiet, continue_=cfg.continue_,
+                metrics=metrics, beam_size=cfg.beam_size,
+                max_output_len=cfg.max_output_len, sampling=cfg.sampling)
+        if cfg.moe_stats:
+            lines = [l.strip() for l in corpus.input_file][:100]
+            stats_path = (corpus.output_path or corpus.corpus_id) + ".moe_stats.json"
+            generator.dump_gate_stats(lines, stats_path)
         line = " | ".join(f"{k} {round(v, 2) if isinstance(v, float) else v}"
                           for k, v in results.items())
         logger.info(f"{corpus.corpus_id} | {line}")

@@ -277,6 +277,83 @@ class TextGenerator:
             return out[0]
         return out
 
+    def score(self, inputs, targets, return_layers: bool = False,
+              return_weights: bool = False, collect_gate_stats: bool = False,
+              meta: Optional[dict] = None):
+        """Teacher-forced scoring of (input, target) pairs
+        (--teacher-forcing, pasero/config.py:601-606): returns hypothesis
+        dicts with per-token scores, and optionally every layer output /
+        attention map (return_layers/return_weights, decoding.py:468-620) and
+        MoE gate statistics (--moe-stats, mixture_of_experts.py:674-738)."""
+        self.start_model()
+        meta = self.task.make_meta(**(meta or {}))
+        samples = []
+        for text, target in zip(inputs, targets):
+            sample = self.task.input_to_sample(text, meta)
+            sample["target"] = target
+            samples.append(self.task.preprocess(sample, append_eos=True,
+                                                truncate=True))
+        model = self._make_model()
+        results = []
+        gate_stats = []
+        for sample in samples:
+            kwargs = {"decoder_input": jnp.asarray(sample["decoder_input"][None]),
+                      "return_layers": return_layers,
+                      "return_weights": return_weights}
+            if "encoder_input" in sample:
+                kwargs["src_tokens"] = jnp.asarray(sample["encoder_input"][None])
+            targets_arr = jnp.asarray(
+                np.concatenate([sample["decoder_input"][1:],
+                                [self.task.eos_idx]])[None])
+            out, mutated = model.apply(
+                {"params": self.params}, targets=targets_arr,
+                mutable=["gate_stats"] if collect_gate_stats else [], **kwargs)
+            logits = np.asarray(out["logits"][0], np.float32)
+            logprobs = logits - np.log(np.exp(logits - logits.max(-1, keepdims=True)).sum(-1, keepdims=True)) - logits.max(-1, keepdims=True)
+            ids = np.asarray(targets_arr[0])
+            pos_scores = logprobs[np.arange(len(ids)), ids]
+            result = {
+                "detok": self.task.postprocess([int(t) for t in ids[:-1]]),
+                "tokens": [int(t) for t in ids],
+                "score": float(pos_scores.sum() / max(len(ids), 1)),
+                "positional_scores": pos_scores.tolist(),
+                "nll": float(-pos_scores.mean()),
+            }
+            for key in ("layers", "self_attn", "cross_attn"):
+                if key in out:
+                    result[key] = [np.asarray(x) if x is not None else None
+                                   for x in out[key]]
+            results.append(result)
+            if collect_gate_stats and "gate_stats" in mutated:
+                gate_stats.append(jax.tree_util.tree_map(
+                    np.asarray, mutated["gate_stats"]))
+        if collect_gate_stats:
+            return results, gate_stats
+        return results
+
+    def dump_gate_stats(self, corpus_lines: list, output_path: str,
+                        meta: Optional[dict] = None, max_lines: int = 100):
+        """--moe-stats: per-expert load / mean gate / top-1 share over a
+        corpus sample, written as JSON (mixture_of_experts.py:674-738)."""
+        lines = corpus_lines[:max_lines]
+        _, stats = self.score(lines, [None] * len(lines),
+                              collect_gate_stats=True, meta=meta)
+        if not stats:
+            return None
+        # aggregate over samples: sum loads, average gates
+        agg: dict = {}
+        for sample_stats in stats:
+            flat = jax.tree_util.tree_flatten_with_path(sample_stats)[0]
+            for path, value in flat:
+                key = jax.tree_util.keystr(path)
+                agg.setdefault(key, []).append(np.asarray(value, np.float64))
+        summary = {k: np.mean(v, axis=0).tolist() for k, v in agg.items()}
+        import json as _json
+        with open(output_path, "w") as f:
+            _json.dump(summary, f, indent=2)
+        logger.info(f"wrote MoE gate statistics to {output_path}")
+        return summary
+
     # -- streaming -----------------------------------------------------------
     def stream(self, input: str, meta: Optional[dict] = None,
                **opts) -> Iterator[str]:
@@ -399,10 +476,29 @@ class TextGenerator:
         total_tokens = 0
         line_iter = iter(inputs)
         n_read = 0
+        runtime_opts: dict = {}
         while True:
             buffer = list(itertools.islice(line_iter, buffer_size))
             if not buffer:
                 break
+            # interactive '!opt=value' commands update decoding options
+            commands = [l for l in buffer
+                        if isinstance(l, str) and l.startswith("!")]
+            for command in commands:
+                try:
+                    key, value = command[1:].strip().split("=", 1)
+                    from ..serving.server import DECODE_PARAMS
+                    caster = DECODE_PARAMS.get(key, str)
+                    runtime_opts[key] = (value.lower() in ("1", "true")
+                                         if caster is bool else caster(value))
+                    logger.info(f"set {key} = {runtime_opts[key]}")
+                except ValueError:
+                    logger.warning(f"could not parse command {command!r}")
+            buffer = [l for l in buffer if not (isinstance(l, str)
+                                                and l.startswith("!"))]
+            if not buffer:
+                continue
+            opts = {**opts, **runtime_opts}
             ref_buffer = (list(itertools.islice(refs_file, len(buffer)))
                           if refs_file else [None] * len(buffer))
             if skip > 0:
