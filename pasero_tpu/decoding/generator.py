@@ -117,8 +117,8 @@ class TextGenerator:
             other_paths=tuple(self.cfg.other_ckpt or ()))
         self.params = jax.tree_util.tree_map(jnp.asarray, self.params)
         if self.cfg.ensemble_ckpt:
-            logger.warning("ensembles average logits over sequentially-loaded "
-                           "checkpoints; decoding will be slower")
+            logger.info(f"ensemble of {1 + len(self.cfg.ensemble_ckpt)} models: "
+                        "log-probabilities are averaged at every decode step")
             self.ensemble_params = [
                 jax.tree_util.tree_map(
                     jnp.asarray,
@@ -168,6 +168,8 @@ class TextGenerator:
                 {"params": self.params}, jnp.asarray(batch["src_tokens"]),
                 src_mask=jnp.asarray(batch["src_mask"]),
                 method=type(model).encode)
+        decode_params = ([self.params] + self.ensemble_params
+                         if self.ensemble_params else self.params)
         common = dict(max_new=max_new, eos_idx=self.task.eos_idx,
                       pad_idx=self.task.padding_idx,
                       encoder_out=encoder_out, encoder_mask=encoder_mask,
@@ -183,7 +185,7 @@ class TextGenerator:
                               for s in self.task.preprocessor.bin_stop_sequences
                               if len(s))
             out = sample_decode(
-                model, self.params, prompt, prompt_mask,
+                model, decode_params, prompt, prompt_mask,
                 greedy=not use_sampling,
                 temperature=opts.get("sampling_temperature",
                                      cfg.sampling_temperature),
@@ -196,7 +198,7 @@ class TextGenerator:
             lengths = np.asarray(out["lengths"])[:, None]
             scores = pos_scores.sum(-1) / (lengths + 1.0) ** cfg.len_penalty
         else:
-            out = beam_search(model, self.params, prompt, prompt_mask,
+            out = beam_search(model, decode_params, prompt, prompt_mask,
                               beam_size=beam,
                               len_penalty=opts.get("len_penalty",
                                                    cfg.len_penalty), **common)

@@ -96,6 +96,35 @@ def _stop_sequence_hit(tokens, length, stop_sequences):
     return hits
 
 
+
+def _member_list(params):
+    """Ensembles pass a list of parameter trees (decoding.py:1704-1777)."""
+    return list(params) if isinstance(params, (list, tuple)) else [params]
+
+
+def _members_apply(model, param_list, cache_list, tokens, *, average, **kwargs):
+    """Apply every ensemble member; return (scores, caches).
+
+    With one member, raw logits pass through (temperature semantics identical
+    to the reference); with several, members' log-probs are averaged
+    (geometric mean of probabilities, like the reference's EnsembleModel).
+    """
+    outs, caches = [], []
+    for i, p in enumerate(param_list):
+        variables = {"params": p}
+        if cache_list is not None:
+            variables["cache"] = cache_list[i]
+        logits, mutated = model.apply(variables, tokens,
+                                      method=type(model).decode_step,
+                                      mutable=["cache"], **kwargs)
+        logits = logits[:, -1].astype(jnp.float32) if logits.ndim == 3 else logits
+        outs.append(jax.nn.log_softmax(logits, -1) if average else logits)
+        caches.append(mutated["cache"])
+    if average:
+        return sum(outs) / len(outs), tuple(caches)
+    return outs[0], tuple(caches)
+
+
 def sample_decode(
     model, params, prompt, prompt_mask, *,
     max_new: int, eos_idx: int, pad_idx: int,
@@ -120,14 +149,14 @@ def sample_decode(
     pad_valid = jnp.concatenate(
         [prompt_mask, jnp.ones((B, max_new), bool)], axis=1)  # (B, L)
 
-    # process the prompt block, creating + filling the KV cache
-    logits, mutated = model.apply(
-        {"params": params}, prompt, encoder_out=encoder_out,
-        encoder_mask=encoder_mask, positions=positions,
-        tgt_mask=jnp.ones((B, P), bool), self_kv_mask=pad_valid,
-        method=type(model).decode_step, mutable=["cache"])
-    cache = mutated["cache"]
-    last_logits = logits[:, -1].astype(jnp.float32)
+    # process the prompt block, creating + filling the KV cache(s)
+    param_list = _member_list(params)
+    average = len(param_list) > 1
+    last_logits, cache = _members_apply(
+        model, param_list, None, prompt, average=average,
+        encoder_out=encoder_out, encoder_mask=encoder_mask,
+        positions=positions, tgt_mask=jnp.ones((B, P), bool),
+        self_kv_mask=pad_valid)
 
     dummy_encoder = (jnp.zeros((B, 1, encoder_out.shape[-1]), encoder_out.dtype)
                      if encoder_out is not None else None)
@@ -164,13 +193,12 @@ def sample_decode(
         finished = finished | (token == eos_idx) | hit_stop
 
         pos = (prompt_len + step)[:, None]
-        new_logits, mutated = model.apply(
-            {"params": params, "cache": cache}, token[:, None],
+        new_logits, new_cache = _members_apply(
+            model, param_list, cache, token[:, None], average=average,
             encoder_out=dummy_encoder, encoder_mask=encoder_mask,
             positions=pos, tgt_mask=jnp.ones((B, 1), bool),
-            self_kv_mask=pad_valid,
-            method=type(model).decode_step, mutable=["cache"])
-        return (step + 1, mutated["cache"], new_logits[:, -1].astype(jnp.float32),
+            self_kv_mask=pad_valid)
+        return (step + 1, new_cache, new_logits,
                 tokens_buf, scores_buf, finished, rng)
 
     init = (jnp.zeros((), jnp.int32), cache, last_logits,
@@ -246,13 +274,15 @@ def beam_search(
                  - (P - prompt_len_k)[:, None]).astype(jnp.int32)
     pad_valid_k = jnp.concatenate(
         [prompt_mask_k, jnp.ones((B * K, max_new), bool)], axis=1)
-    logits, mutated = model.apply(
-        {"params": params}, prompt_k, encoder_out=encoder_out_k,
-        encoder_mask=encoder_mask_k, positions=positions,
-        tgt_mask=jnp.ones((B * K, P), bool), self_kv_mask=pad_valid_k,
-        method=type(model).decode_step, mutable=["cache"])
-    cache = mutated["cache"]
-    last_logprobs = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), -1)
+    param_list = _member_list(params)
+    average = len(param_list) > 1
+    last_scores, cache = _members_apply(
+        model, param_list, None, prompt_k, average=average,
+        encoder_out=encoder_out_k, encoder_mask=encoder_mask_k,
+        positions=positions, tgt_mask=jnp.ones((B * K, P), bool),
+        self_kv_mask=pad_valid_k)
+    last_logprobs = (last_scores if average
+                     else jax.nn.log_softmax(last_scores, -1))
 
     dummy_encoder = (jnp.zeros((B * K, 1, encoder_out.shape[-1]),
                                encoder_out.dtype)
@@ -343,16 +373,14 @@ def beam_search(
         cache = _gather_beams(cache, new_beam_idx, B, K)
 
         pos = (prompt_len_k + step)[:, None]
-        new_logits, mutated = model.apply(
-            {"params": params, "cache": cache},
-            _flatten_beam(new_token)[:, None],
-            encoder_out=dummy_encoder, encoder_mask=encoder_mask_k,
-            positions=pos, tgt_mask=jnp.ones((B * K, 1), bool),
-            self_kv_mask=pad_valid_k,
-            method=type(model).decode_step, mutable=["cache"])
-        new_logprobs = jax.nn.log_softmax(
-            new_logits[:, -1].astype(jnp.float32), -1)
-        return (step + 1, mutated["cache"], new_logprobs, tokens_buf,
+        new_scores, new_cache = _members_apply(
+            model, param_list, cache, _flatten_beam(new_token)[:, None],
+            average=average, encoder_out=dummy_encoder,
+            encoder_mask=encoder_mask_k, positions=pos,
+            tgt_mask=jnp.ones((B * K, 1), bool), self_kv_mask=pad_valid_k)
+        new_logprobs = (new_scores if average
+                        else jax.nn.log_softmax(new_scores, -1))
+        return (step + 1, new_cache, new_logprobs, tokens_buf,
                 pos_scores_buf, new_live_scores, fin_scores, fin_tokens,
                 fin_pos_scores, fin_lengths)
 

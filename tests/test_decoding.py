@@ -189,3 +189,44 @@ def test_stop_sequences():
                             greedy=True, stop_sequences=((first,),))
     later = np.asarray(stopped["tokens"][0, 1:])
     assert (later == pad).all()  # generation stopped after the stop token
+
+
+def test_ensemble_decoding():
+    """Two-member ensembles average log-probs; an ensemble of two copies of
+    the same model must equal the single model (decoding.py:1704-1777)."""
+    cfg = small_cfg("transformer_small", "translation")
+    pad, eos, bos = cfg.padding_idx, cfg.eos_idx, cfg.bos_idx
+    B, S = 2, 5
+    src = jnp.asarray(np.random.default_rng(3).integers(4, V, (B, S)), jnp.int32)
+    model = Transformer(cfg, src_vocab_size=V, self_cache_len=1 + MAX_NEW,
+                        cross_cache_len=S)
+    prompt = jnp.full((B, 1), bos, jnp.int32)
+    params = model.init(RNG, src_tokens=src, decoder_input=prompt)["params"]
+    params2 = model.init(jax.random.PRNGKey(9), src_tokens=src,
+                         decoder_input=prompt)["params"]
+    encoder_out, encoder_mask = model.apply(
+        {"params": params}, src, method=Transformer.encode)
+
+    single = sample_decode(model, params, prompt, jnp.ones((B, 1), bool),
+                           max_new=MAX_NEW, eos_idx=eos, pad_idx=pad,
+                           greedy=True, encoder_out=encoder_out,
+                           encoder_mask=encoder_mask)
+    same_twice = sample_decode(model, [params, params], prompt,
+                               jnp.ones((B, 1), bool), max_new=MAX_NEW,
+                               eos_idx=eos, pad_idx=pad, greedy=True,
+                               encoder_out=encoder_out,
+                               encoder_mask=encoder_mask)
+    assert np.array_equal(np.asarray(single["tokens"]),
+                          np.asarray(same_twice["tokens"]))
+    # a real 2-member ensemble runs and differs from member 1 in general
+    mixed = sample_decode(model, [params, params2], prompt,
+                          jnp.ones((B, 1), bool), max_new=MAX_NEW,
+                          eos_idx=eos, pad_idx=pad, greedy=True,
+                          encoder_out=encoder_out, encoder_mask=encoder_mask)
+    assert np.isfinite(np.asarray(mixed["scores"])).all()
+    # beam search with an ensemble
+    beam = beam_search(model, [params, params2], prompt,
+                       jnp.ones((B, 1), bool), beam_size=2, max_new=MAX_NEW,
+                       eos_idx=eos, pad_idx=pad, encoder_out=encoder_out,
+                       encoder_mask=encoder_mask)
+    assert np.isfinite(np.asarray(beam["scores"])).all()
