@@ -164,12 +164,31 @@ class TextGenerator:
                                  cross_cache_len=cross_len)
         encoder_out = encoder_mask = None
         if "src_tokens" in batch:
-            encoder_out, encoder_mask = model.apply(
-                {"params": self.params}, jnp.asarray(batch["src_tokens"]),
-                src_mask=jnp.asarray(batch["src_mask"]),
-                method=type(model).encode)
-        decode_params = ([self.params] + self.ensemble_params
-                         if self.ensemble_params else self.params)
+            # --encoder-decoder-swapping: only the needed half of the model is
+            # resident on device during each phase (decoding.py:231-237,
+            # 583-595; on TPU this means feeding apply() the sub-tree only)
+            if self.cfg.encoder_decoder_swapping:
+                enc_params = {k: v for k, v in self.params.items()
+                              if k in ("encoder", "shared_embed")}
+                enc_params = jax.device_put(enc_params)
+                encoder_out, encoder_mask = model.apply(
+                    {"params": enc_params}, jnp.asarray(batch["src_tokens"]),
+                    src_mask=jnp.asarray(batch["src_mask"]),
+                    method=type(model).encode)
+                del enc_params
+            else:
+                encoder_out, encoder_mask = model.apply(
+                    {"params": self.params}, jnp.asarray(batch["src_tokens"]),
+                    src_mask=jnp.asarray(batch["src_mask"]),
+                    method=type(model).encode)
+        if self.cfg.encoder_decoder_swapping:
+            decode_half = {k: v for k, v in self.params.items()
+                           if k != "encoder"}
+            decode_params = jax.device_put(decode_half)
+        elif self.ensemble_params:
+            decode_params = [self.params] + self.ensemble_params
+        else:
+            decode_params = self.params
         common = dict(max_new=max_new, eos_idx=self.task.eos_idx,
                       pad_idx=self.task.padding_idx,
                       encoder_out=encoder_out, encoder_mask=encoder_mask,

@@ -1,0 +1,72 @@
+"""End-to-end CLI test: build tokenizer -> train -> resume -> decode.
+
+A miniature of the synthetic-corpus slice (SURVEY.md §7 minimum slice),
+exercised through the real command-line entry points in subprocesses.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO,
+       "XLA_FLAGS": "--xla_force_host_platform_device_count=1"}
+
+
+def run(args, cwd, timeout=420, stdin=None):
+    result = subprocess.run(
+        [sys.executable, "-m"] + args, cwd=cwd, env=ENV, timeout=timeout,
+        capture_output=True, text=True, input=stdin)
+    assert result.returncode == 0, \
+        f"{args} failed:\n{result.stdout[-2000:]}\n{result.stderr[-2000:]}"
+    return result
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli_e2e")
+    words = {"der": "the", "hund": "dog", "springt": "jumps",
+             "katze": "cat", "läuft": "runs"}
+    import random
+    rng = random.Random(0)
+    pairs = []
+    for _ in range(400):
+        src = [rng.choice(list(words)) for _ in range(rng.randint(2, 5))]
+        pairs.append((" ".join(src), " ".join(words[w] for w in src)))
+    for name, rows in [("train", pairs[:380]), ("valid", pairs[380:])]:
+        (d / f"{name}.de").write_text("\n".join(s for s, _ in rows) + "\n")
+        (d / f"{name}.en").write_text("\n".join(t for _, t in rows) + "\n")
+    return str(d)
+
+
+@pytest.mark.slow
+def test_full_cli_pipeline(workdir):
+    run(["cli.tokenizer_cli", "build-tokenizer", "train.de", "train.en",
+         "-o", "bpecodes", "--size", "60", "--dict-path", "dict.txt",
+         "--dict-min-count", "1", "--dict-padding-factor", "1"], workdir)
+    assert os.path.exists(os.path.join(workdir, "dict.txt"))
+
+    train_args = ["cli.train", "--data-dir", ".", "-o", "model",
+                  "-s", "de", "-t", "en", "--arch", "transformer_small",
+                  "--encoder-layers", "1", "--decoder-layers", "1",
+                  "--embed-dim", "32", "--encoder-ffn-dim", "64",
+                  "--decoder-ffn-dim", "64", "--encoder-attention-heads", "2",
+                  "--decoder-attention-heads", "2", "--max-steps", "30",
+                  "--valid-interval", "30", "--log-interval", "30",
+                  "--batch-size", "512", "--lr", "0.003", "--warmup", "10",
+                  "--seed", "1", "--dataset-type", "debug", "--metrics",
+                  "--max-output-len", "12"]
+    out = run(train_args, workdir)
+    assert os.path.exists(os.path.join(workdir, "model", "model_30.npz"))
+    assert os.path.exists(os.path.join(workdir, "model", "inference.yaml"))
+
+    # resume: rerunning immediately finishes at the saved step
+    out = run(train_args, workdir)
+    assert "resumed at step 30" in out.stdout + out.stderr
+
+    # decode from stdin through the trained model
+    out = run(["cli.decode", "model", "--beam-size", "2"],
+              workdir, stdin="der hund\n")
+    assert out.stdout.strip(), "no decoding output"
