@@ -7,9 +7,8 @@ description (data/tensor/expert axes) consumed by ``pasero_tpu.parallel``.
 
 from __future__ import annotations
 
-import os
 import random
-from typing import Optional, Union
+from typing import Optional
 
 from .core import Config, argument
 

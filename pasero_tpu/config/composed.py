@@ -12,7 +12,7 @@ import argparse
 import os
 import random
 import sys
-from typing import Any, Optional, Union
+from typing import Optional, Union
 
 import yaml
 
@@ -20,7 +20,7 @@ from .core import Config, argument
 from .common import (DecodingConfig, DistributedConfig, EvalConfig, TaskConfig,
                      TrackerConfig)
 from .models import TransformerConfig
-from .registry import MODEL_CONFIG_REGISTRY, get_model_config_cls
+from .registry import get_model_config_cls
 from .tasks import get_task_config_cls
 
 DATASET_CONFIG_REGISTRY: dict[str, type] = {}

@@ -8,8 +8,6 @@ so that e.g. a ``llama_7b`` config resolves to the ``transformer`` model family
 
 from __future__ import annotations
 
-from typing import Optional, Type
-
 TASK_REGISTRY: dict[str, type] = {}
 DATASET_REGISTRY: dict[str, type] = {}
 MODEL_REGISTRY: dict[str, tuple] = {}          # name -> (model_cls, cfg_cls)

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from .core import Config, argument
+from .core import argument
 from .common import TaskConfig
 
 TASK_CONFIG_REGISTRY: dict[str, type] = {}

@@ -17,7 +17,6 @@ range then (x+4)/4 scaling.
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional
 
 import jax

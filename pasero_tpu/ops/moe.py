@@ -15,7 +15,6 @@ their activations), matching Tutel's capacity-factor semantics
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import jax

@@ -9,7 +9,7 @@ loss only applies to assistant turns (with --prompt-loss 0).
 from __future__ import annotations
 
 import logging
-from typing import Any, Union
+from typing import Union
 
 import numpy as np
 import regex

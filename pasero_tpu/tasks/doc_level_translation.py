@@ -9,8 +9,6 @@ only the LAST sentence of a document is scored at evaluation
 from __future__ import annotations
 
 import logging
-from typing import Any
-
 import numpy as np
 
 from ..config import register_task

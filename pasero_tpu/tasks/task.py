@@ -11,18 +11,16 @@ Re-design of pasero/tasks/task.py:23-815. Differences for TPU:
 
 from __future__ import annotations
 
-import itertools
 import logging
 import os
-from typing import Any, Iterable, Iterator, Optional
+from typing import Any, Optional
 
 import numpy as np
 
 from ..config import TaskConfig
 from ..data.batching import build_batches, length_buckets, pad_to_bucket
 from ..data.files import File
-from ..preprocessing import TextPreprocessor, mask_padding
-from ..utils.text import find_file
+from ..preprocessing import TextPreprocessor
 
 logger = logging.getLogger("task")
 
