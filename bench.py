@@ -11,6 +11,7 @@ publishes no throughput table, so this is the documented comparison anchor.
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 """
 
+import functools
 import json
 import sys
 import time
@@ -31,7 +32,7 @@ def main():
     from pasero_tpu.training.trainer import shift_targets
 
     vocab = 32_000
-    B, S, T = 64, 128, 128  # ~8k target tokens per batch
+    B, S, T = 128, 128, 128  # ~16k target tokens per batch
     cfg = get_model_config_cls("transformer")()
     cfg.set_defaults("translation")
     cfg.dropout = 0.1
@@ -55,7 +56,7 @@ def main():
         loss, _, denom = cross_entropy_loss(out["logits"], targets, weights, 0.1)
         return loss / jnp.maximum(denom, 1.0)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, batch, step):
         dropout_rng = jax.random.fold_in(jax.random.PRNGKey(1), step)
         loss, grads = jax.value_and_grad(loss_fn)(params, batch, dropout_rng)
