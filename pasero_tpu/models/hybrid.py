@@ -236,7 +236,8 @@ class HybridTransformer(Transformer):
         self.is_encoder_decoder = True
         self.encoder = TransformerEncoder(
             cfg, vocab_size=self.src_vocab_size,
-            num_adapters=self.num_encoder_adapters, kernel=self.kernel,
+            num_adapters=self.num_encoder_adapters,
+            kernel=self.kernel or getattr(cfg, "attention_kernel", None) or "xla",
             dtype=self.dtype)
         self.decoder = LSTMDecoder(cfg, vocab_size=tgt_vocab,
                                    cross_cache_len=self.cross_cache_len,

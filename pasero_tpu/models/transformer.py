@@ -362,30 +362,27 @@ class TransformerDecoder(nn.Module):
             self_mask = tgt_mask[:, None, None, :]
 
         self_bias = None
-        if pe == "alibi":
+        if pe in ("alibi", "t5"):
+            kv_pos = positions  # full forward: keys are the query positions
             if decode:
                 # distances to cache slots: slot j holds absolute position
-                # pos_last - (index + T - 1) + j; since ALiBi only depends on
-                # the distance, compute it from the running cache index
+                # pos_last - (index + T - 1) + j; relative biases only depend
+                # on the distance, so compute it from the running cache index
                 L = self.self_cache_len
-                idx = self.get_variable("cache", "alibi_step")                     if self.has_variable("cache", "alibi_step") else None
-                step_var = self.variable("cache", "alibi_step",
+                step_var = self.variable("cache", "bias_step",
                                          lambda: jnp.zeros((), jnp.int32))
                 i = step_var.value
                 slots = jnp.arange(L)[None, :]                       # (1, L)
                 kv_pos = positions[:, -1:] - (i + T - 1) + slots      # (B, L)
+                step_var.value = i + T
+            if pe == "alibi":
                 self_bias = alibi_bias(cfg.decoder_attention_heads, positions,
                                        kv_pos, max_bias=cfg.alibi_max_bias,
                                        causal=True)
-                step_var.value = i + T
             else:
-                self_bias = alibi_bias(cfg.decoder_attention_heads, positions,
-                                       positions, max_bias=cfg.alibi_max_bias,
-                                       causal=True)
-        elif pe == "t5":
-            self_bias = T5RelativeBias(cfg.decoder_attention_heads,
-                                       bidirectional=False, name="t5_bias"
-                                       )(positions, positions)
+                self_bias = T5RelativeBias(cfg.decoder_attention_heads,
+                                           bidirectional=False, name="t5_bias"
+                                           )(positions, kv_pos)
 
         cross_mask = None
         encoder_positions = None
@@ -462,11 +459,15 @@ def cross_entropy_loss(logits, targets, weights, label_smoothing=0.0):
     logits: (B, T, V) f32; targets: (B, T) int; weights: (B, T) f32 mask/scale.
     Returns (loss_sum, nll_sum, weight_sum).
     """
-    vocab = logits.shape[-1]
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    # logsumexp form instead of materializing log_softmax: only (B, T)
+    # reductions and one gather touch HBM beyond the logits themselves
+    # (the (B, T, V) fp32 logp tensor would dominate step bandwidth)
+    logits = logits.astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    tgt = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0]
+    nll = lse - tgt
     if label_smoothing > 0:
-        smooth = -jnp.mean(logp, axis=-1)
+        smooth = lse - jnp.mean(logits, axis=-1)
         loss = (1.0 - label_smoothing) * nll + label_smoothing * smooth
     else:
         loss = nll
@@ -492,11 +493,12 @@ class Transformer(nn.Module):
     num_decoder_adapters: int = 0
     self_cache_len: int = 0
     cross_cache_len: int = 0
-    kernel: str = "xla"
+    kernel: Optional[str] = None  # default: cfg.attention_kernel
     dtype: Dtype = jnp.bfloat16
 
     def setup(self):
         cfg = self.cfg
+        kernel = self.kernel or getattr(cfg, "attention_kernel", None) or "xla"
         tgt_vocab = self.tgt_vocab_size or self.src_vocab_size
         self.is_encoder_decoder = cfg.model_type != "decoder"
         speech = bool(cfg.input_dim)
@@ -509,12 +511,12 @@ class Transformer(nn.Module):
             self.encoder = TransformerEncoder(
                 cfg, vocab_size=self.src_vocab_size,
                 num_adapters=self.num_encoder_adapters, shared_embed=shared,
-                kernel=self.kernel, dtype=self.dtype)
+                kernel=kernel, dtype=self.dtype)
         self.decoder = TransformerDecoder(
             cfg, vocab_size=tgt_vocab, has_encoder=self.is_encoder_decoder,
             num_adapters=self.num_decoder_adapters, shared_embed=shared,
             self_cache_len=self.self_cache_len,
-            cross_cache_len=self.cross_cache_len, kernel=self.kernel,
+            cross_cache_len=self.cross_cache_len, kernel=kernel,
             dtype=self.dtype)
 
     def encode(self, src_tokens, src_mask=None, deterministic=True,

@@ -42,8 +42,13 @@ def _pick_blocks(Sq: int, Sk: int, D: int):
         bk *= 2
     return bq, min(bk, 2048)
 
-# set True to run kernels in the Pallas interpreter (CPU tests)
+# set True to force the Pallas interpreter; on non-TPU backends (CPU tests,
+# debug runs) the interpreter is used automatically
 INTERPRET = False
+
+
+def _interpret() -> bool:
+    return INTERPRET or jax.default_backend() != "tpu"
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -153,7 +158,7 @@ def _fwd(q, k, v, kv_mask, bias, scale, causal, window):
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
-        interpret=INTERPRET,
+        interpret=_interpret(),
         in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, block_q, D), lambda bh, qb: (bh, qb, 0),
@@ -267,6 +272,98 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, do_ref, lse_ref,
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
+def _dbias_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, do_ref, lse_ref,
+                  delta_ref, dbias_ref, *, scale, causal, window,
+                  num_k_blocks, block_k):
+    """dbias = dS = P * (dP - delta), accumulated over the innermost grid
+    axis (batch) into a per-(head, q-block) output block. Grid revisits of
+    the same output block are contiguous, so read-modify-write is exact."""
+    qb = pl.program_id(1)
+    b = pl.program_id(2)
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0][:, None]
+    delta = delta_ref[0, 0][:, None]
+    block_q = q.shape[0]
+    q_pos = qb * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 0)
+
+    @pl.when(b == 0)
+    def _init():
+        dbias_ref[...] = jnp.zeros(dbias_ref.shape, dbias_ref.dtype)
+
+    def body(kb, _):
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s + bias_ref[0, :, pl.ds(kb * block_k, block_k)].astype(jnp.float32)
+        valid = mask_ref[0, 0, pl.ds(kb * block_k, block_k)] > 0
+        ok = jnp.broadcast_to(valid[None, :], s.shape)
+        k_pos = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        if causal:
+            ok &= k_pos <= q_pos
+        if window is not None:
+            ok &= (q_pos - k_pos) < window
+        s = jnp.where(ok, s, NEG_INF)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        # fully-masked (padded) query rows have do == 0 => ds == 0, but p is
+        # degenerate there; zero explicitly so padded rows never contribute
+        ds = jnp.where(ok, p * (dp - delta), 0.0)
+        cur = dbias_ref[0, :, pl.ds(kb * block_k, block_k)]
+        dbias_ref[0, :, pl.ds(kb * block_k, block_k)] = cur + ds
+        return 0
+
+    if causal:
+        upper = jnp.minimum(num_k_blocks, (qb + 1) * block_q // block_k + 1)
+    else:
+        upper = num_k_blocks
+    jax.lax.fori_loop(0, upper, body, 0)
+
+
+def _compute_dbias(bias, q_r, k_r, v_r, mask_bh, bias_r, do_r, lse_r, delta_r,
+                   B, H, group, Sq, Sk, D, scale, causal, window):
+    """Gradient w.r.t. the (b0, h0, Sq, Sk) bias passed to _flash."""
+    b0, h0 = bias.shape[0], bias.shape[1]
+    kernel = functools.partial(
+        _dbias_kernel, scale=scale, causal=causal, window=window,
+        num_k_blocks=Sk // BLOCK_K, block_k=BLOCK_K)
+    common = dict(memory_space=pltpu.VMEM)
+    if b0 == 1:
+        # shared bias: sum over batch inside the kernel (innermost grid axis)
+        grid = (H, Sq // BLOCK_Q, B)
+        bh = lambda h, qb, b: b * H + h
+        out_rows, out_map = H, (lambda h, qb, b: (h, qb, 0))
+    else:
+        # per-sample bias: one output row per (batch, head)
+        grid = (B * H, Sq // BLOCK_Q, 1)
+        bh = lambda i, qb, b: i
+        out_rows, out_map = B * H, (lambda i, qb, b: (i, qb, 0))
+    in_specs = [
+        pl.BlockSpec((1, BLOCK_Q, D), lambda *g: (bh(*g), g[1], 0), **common),
+        pl.BlockSpec((1, Sk, D), lambda *g: (bh(*g) // group, 0, 0), **common),
+        pl.BlockSpec((1, Sk, D), lambda *g: (bh(*g) // group, 0, 0), **common),
+        pl.BlockSpec((1, 1, Sk), lambda *g: (bh(*g), 0, 0), **common),
+        pl.BlockSpec((1, BLOCK_Q, Sk), lambda *g: (bh(*g), g[1], 0), **common),
+        pl.BlockSpec((1, BLOCK_Q, D), lambda *g: (bh(*g), g[1], 0), **common),
+        pl.BlockSpec((1, 1, BLOCK_Q), lambda *g: (bh(*g), 0, g[1]), **common),
+        pl.BlockSpec((1, 1, BLOCK_Q), lambda *g: (bh(*g), 0, g[1]), **common),
+    ]
+    dbias_full = pl.pallas_call(
+        kernel, grid=grid, in_specs=in_specs, interpret=_interpret(),
+        out_specs=pl.BlockSpec((1, BLOCK_Q, Sk), out_map, **common),
+        out_shape=jax.ShapeDtypeStruct((out_rows, Sq, Sk), jnp.float32),
+    )(q_r, k_r, v_r, mask_bh, bias_r, do_r, lse_r, delta_r)
+    dbias = (dbias_full[None] if b0 == 1
+             else dbias_full.reshape(B, H, Sq, Sk))
+    if h0 == 1:
+        dbias = dbias.sum(axis=1, keepdims=True)
+    return dbias.astype(bias.dtype)
+
+
 def _bwd(scale, causal, window, residuals, g):
     q, k, v, kv_mask, bias, out, lse = residuals
     do = g
@@ -318,7 +415,7 @@ def _bwd(scale, causal, window, residuals, g):
     dq_args += [do_r, lse_r, delta_r]
     dq = pl.pallas_call(
         dq_kernel, grid=(B * H, Sq // BLOCK_Q), in_specs=dq_specs,
-        interpret=INTERPRET,
+        interpret=_interpret(),
         out_specs=pl.BlockSpec((1, BLOCK_Q, D), lambda bh, qb: (bh, qb, 0),
                                **common_specs),
         out_shape=jax.ShapeDtypeStruct((B * H, Sq, D), q.dtype),
@@ -356,7 +453,7 @@ def _bwd(scale, causal, window, residuals, g):
     dkv_args += [do_r, lse_r, delta_r]
     dk, dv = pl.pallas_call(
         dkv_kernel, grid=(B * H, Sk // BLOCK_K), in_specs=dkv_specs,
-        interpret=INTERPRET,
+        interpret=_interpret(),
         out_specs=(
             pl.BlockSpec((1, BLOCK_K, D), lambda bh, kb: (bh, kb, 0),
                          **common_specs),
@@ -375,9 +472,13 @@ def _bwd(scale, causal, window, residuals, g):
         dk = dk.reshape(B, Hkv, group, Sk, D).sum(axis=2)
         dv = dv.reshape(B, Hkv, group, Sk, D).sum(axis=2)
     dq = dq.reshape(B, H, Sq, D)
-    # kv_mask is boolean (non-differentiable); bias gradients are not
-    # propagated by the kernel (learned T5 biases should use the xla path)
-    dbias = jnp.zeros_like(bias) if bias is not None else None
+    # kv_mask is boolean (non-differentiable); bias gradients (learned T5
+    # relative-position biases) come from a dedicated dS kernel
+    dbias = None
+    if bias is not None:
+        dbias = _compute_dbias(bias, q_r, k_r, v_r, mask_bh, bias_r, do_r,
+                               lse_r, delta_r, B, H, group, Sq, Sk, D,
+                               scale, causal, window)
     return dq, dk, dv, None, dbias
 
 

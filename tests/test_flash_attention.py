@@ -124,3 +124,49 @@ def test_backward_gqa():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-3, rtol=5e-3)
+
+def test_backward_bias_shared():
+    # T5-style learned relative bias: shape (1, H, Sq, Sk), shared over batch
+    q, k, v = make_qkv(B=2, H=2, Sq=128, Sk=128, D=64)
+    bias = jnp.asarray(np.random.default_rng(5).normal(size=(1, 2, 128, 128)),
+                       jnp.float32)
+    mask = jnp.ones((2, 1, 128, 128), bool).at[:, :, :, 100:].set(False)
+
+    def loss(fn):
+        def inner(q, k, v, bias):
+            return jnp.sum(fn(q, k, v, bias) ** 2)
+        return inner
+
+    flash_fn = lambda q, k, v, b: fa.flash_attention(
+        q, k, v, mask=mask, bias=b, scale=0.125, causal=True)
+    ref_fn = lambda q, k, v, b: reference(
+        q, k, v, mask=mask, bias=b, scale=0.125, causal=True)
+    g1 = jax.grad(loss(flash_fn), argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g2 = jax.grad(loss(ref_fn), argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b, name in zip(g1, g2, ["q", "k", "v", "bias"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3, rtol=5e-3,
+                                   err_msg=f"d{name} mismatch")
+
+
+def test_backward_bias_per_sample_gqa():
+    # per-sample bias (B, H, Sq, Sk) with GQA + sliding window
+    q, k, v = make_qkv(B=2, H=4, Hkv=2, Sq=128, Sk=128, D=64)
+    bias = jnp.asarray(np.random.default_rng(6).normal(size=(2, 4, 128, 128)),
+                       jnp.float32)
+
+    def loss(fn):
+        def inner(q, k, v, bias):
+            return jnp.sum(fn(q, k, v, bias) ** 2)
+        return inner
+
+    flash_fn = lambda q, k, v, b: fa.flash_attention(
+        q, k, v, bias=b, scale=0.125, window=48)
+    ref_fn = lambda q, k, v, b: reference(q, k, v, bias=b, scale=0.125,
+                                          window=48)
+    g1 = jax.grad(loss(flash_fn), argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g2 = jax.grad(loss(ref_fn), argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b, name in zip(g1, g2, ["q", "k", "v", "bias"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3, rtol=5e-3,
+                                   err_msg=f"d{name} mismatch")

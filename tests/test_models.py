@@ -120,6 +120,7 @@ def _greedy_from_full(model, variables, dec, src=None):
     ("transformer_small", "translation", {}),
     ("llama_7b", "language_modeling", {"attention_heads_kv": 2}),
     ("bloom_560m", "language_modeling", {}),
+    ("t5_base", "translation", {}),  # learned relative bias over cache slots
 ])
 def test_incremental_decode_matches_full(arch, task, overrides):
     """Token-by-token decoding with the KV cache reproduces the full forward."""
