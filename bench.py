@@ -23,6 +23,9 @@ REFERENCE_TOKENS_PER_SEC = 50_000.0  # PyTorch+flash-attn transformer-base, V100
 
 def main():
     import jax
+    # hardware rng_bit_generator for dropout (trainer default, --prng-impl):
+    # ~25% faster steps than the threefry default on this chip
+    jax.config.update("jax_default_prng_impl", "rbg")
     import jax.numpy as jnp
     import optax
 

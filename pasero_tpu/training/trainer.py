@@ -63,6 +63,9 @@ class Trainer:
         self.metrics = metrics or Metrics(window=cfg.log_interval)
         self.rules = list(fsdp_rules() if cfg.fsdp else LOGICAL_RULES)
         self.pad_idx = model.cfg.padding_idx
+        impl = getattr(cfg, "prng_impl", None)
+        if impl:
+            jax.config.update("jax_default_prng_impl", impl)
         self.rng = jax.random.PRNGKey(cfg.seed or 0)
         if getattr(cfg, "benchmark", False):
             from ..utils.benchmark import benchmark
