@@ -134,6 +134,21 @@ class Field:
         """Best-effort coercion of a raw (e.g. YAML/CLI) value to the field type."""
         if value is None:
             return None
+        ann = self.annotation
+        if typing.get_origin(ann) is Union:
+            args = [a for a in typing.get_args(ann) if a is not type(None)]
+            if len(args) > 1:
+                # heterogeneous Union (e.g. Union[int, dict] expert counts):
+                # keep values already matching a member, else coerce to the
+                # first member (base_type would otherwise fall back to str)
+                for a in args:
+                    if (isinstance(a, type) and typing.get_origin(a) is None
+                            and isinstance(value, a)):
+                        return value
+                first = args[0]
+                if isinstance(first, type):
+                    return self._coerce_scalar(value, first)
+                return value
         base = self.base_type
         if self.is_list:
             if isinstance(value, str):

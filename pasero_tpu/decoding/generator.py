@@ -355,9 +355,18 @@ class TextGenerator:
     def dump_gate_stats(self, corpus_lines: list, output_path: str,
                         meta: Optional[dict] = None, max_lines: int = 100):
         """--moe-stats: per-expert load / mean gate / top-1 share over a
-        corpus sample, written as JSON (mixture_of_experts.py:674-738)."""
+        corpus sample, written as JSON (mixture_of_experts.py:674-738).
+
+        The reference collects statistics inside its decoding forwards; here
+        the corpus is decoded first and the hypotheses are re-scored teacher-
+        forced with gate-stat collection — routing is deterministic given the
+        tokens (decode == full-forward parity), so the statistics describe
+        exactly the routing the decoder used to generate its output."""
         lines = corpus_lines[:max_lines]
-        _, stats = self.score(lines, [None] * len(lines),
+        hyps = self.decode(lines, meta=meta)
+        if isinstance(hyps, str):
+            hyps = [hyps]
+        _, stats = self.score(lines, hyps,
                               collect_gate_stats=True, meta=meta)
         if not stats:
             return None
