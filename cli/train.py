@@ -175,13 +175,22 @@ def run_training(cfg):
         cfg.dataset_cfg.batch_by = list(dict.fromkeys(
             (cfg.dataset_cfg.batch_by or []) + by_keys))
 
+    if cfg.cp_size > 1:
+        # context parallelism: self-attention must run the ring collective,
+        # and padded sequence lengths must divide the 'seq' axis
+        if cfg.model_cfg.attention_kernel != "ring":
+            logger.info(f"cp_size={cfg.cp_size}: switching attention_kernel "
+                        "to 'ring'")
+            cfg.model_cfg.attention_kernel = "ring"
+        task.length_multiple = cfg.cp_size
+
     model = model_cls(cfg.model_cfg,
                       src_vocab_size=(task.encoder_num_embeddings
                                       or task.decoder_num_embeddings),
                       tgt_vocab_size=task.decoder_num_embeddings,
                       num_encoder_adapters=len(enc_names),
                       num_decoder_adapters=len(dec_names))
-    mesh = make_mesh(cfg.dp_size, cfg.tp_size, cfg.ep_size)
+    mesh = make_mesh(cfg.dp_size, cfg.tp_size, cfg.ep_size, cfg.cp_size)
     trainer = Trainer(cfg, task, model, mesh, adapter_info=adapter_info)
 
     dataset_cls = DATASET_REGISTRY[cfg.dataset_type]

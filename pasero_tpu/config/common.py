@@ -29,6 +29,11 @@ class DistributedConfig(Config):
                 "across this many devices (GSPMD)")
     ep_size: int = argument(
         1, help="expert-parallel axis size for Mixture-of-Experts layers")
+    cp_size: int = argument(
+        1, help="context-parallel axis size: shard the sequence dimension and "
+                "run self-attention as a ring collective over the 'seq' mesh "
+                "axis (exact attention on N x longer contexts; a capability "
+                "the reference lacks)")
     fsdp: bool = argument(
         False, help="ZeRO-style sharding of parameters and optimizer state along the "
                     "data axis (GSPMD equivalent of torch FSDP)")

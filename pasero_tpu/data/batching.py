@@ -47,12 +47,19 @@ def build_batches(indices, size_fn: Callable, batch_size: int,
     return batches
 
 
-def length_buckets(max_len: int, min_len: int = 16, factor: float = 1.3) -> list[int]:
-    """Geometric ladder of padded lengths ending exactly at max_len."""
-    buckets = [min(min_len, max_len)]
-    while buckets[-1] < max_len:
-        buckets.append(min(max_len, max(buckets[-1] + 1,
-                                        int(math.ceil(buckets[-1] * factor)))))
+def length_buckets(max_len: int, min_len: int = 16, factor: float = 1.3,
+                   multiple: int = 1) -> list[int]:
+    """Geometric ladder of padded lengths ending exactly at max_len.
+
+    `multiple` rounds every rung up (context parallelism needs the padded
+    sequence length divisible by the 'seq' mesh axis)."""
+    def up(x):
+        return int(math.ceil(x / multiple)) * multiple
+    top = up(max_len)
+    buckets = [up(min(min_len, max_len))]
+    while buckets[-1] < top:
+        buckets.append(min(top, up(max(buckets[-1] + 1,
+                                       int(math.ceil(buckets[-1] * factor))))))
     return buckets
 
 

@@ -121,6 +121,24 @@ class MultiheadAttention(nn.Module):
             k, v, kv_positions, mask, bias = self._update_cache(
                 k, v, kv_positions, positions, mask, bias)
 
+        scale = head_dim ** -0.5 if self.scale_attn else 1.0
+
+        # context parallelism: full-forward self-attention rides the 'seq'
+        # mesh axis via ring attention (causal/window applied from global
+        # slot indices inside the ring; K/V stay GQA-sized on the wire)
+        use_ring = (self.kernel == "ring" and not decode
+                    and not return_weights and not self.cross_attention)
+        if use_ring:
+            from ..parallel.context import ring_self_attention
+            kv_mask = mask[:, 0, 0, :] if mask is not None else None
+            out = ring_self_attention(q, k, v, kv_mask=kv_mask, bias=bias,
+                                      scale=scale, causal=self.causal,
+                                      window=self.sliding_window)
+            out = out.transpose(0, 2, 1, 3).reshape(B, Sq, num_heads * head_dim)
+            out = Linear(embed_dim, use_bias=self.use_bias, dtype=self.dtype,
+                         kernel_axes=("heads", "embed"), name="out_proj")(out)
+            return out
+
         # causal / sliding-window structure from positions (no cached masks)
         if self.causal and not decode:
             causal = kv_positions[:, None, None, :] <= positions[:, None, :, None]
@@ -128,8 +146,6 @@ class MultiheadAttention(nn.Module):
                 causal &= (positions[:, None, :, None] - kv_positions[:, None, None, :]
                            ) < self.sliding_window
             mask = causal if mask is None else (mask & causal)
-
-        scale = head_dim ** -0.5 if self.scale_attn else 1.0
 
         if kv_heads != num_heads:
             k = jnp.repeat(k, num_heads // kv_heads, axis=1)

@@ -112,6 +112,9 @@ class Task:
         self.training = False
         self.data_dir = data_dir
         self.find_unused_parameters = False
+        # padded sequence lengths are rounded up to this (context parallelism
+        # needs lengths divisible by the 'seq' mesh axis; set by cli/train)
+        self.length_multiple = 1
 
     # -- model wiring -------------------------------------------------------
     def setup_for_model(self, model_cfg) -> None:
@@ -223,12 +226,14 @@ class Task:
         if not samples:
             return None
         pad = self.padding_idx
-        tgt_bucket = length_buckets(max_target_len or
-                                    self.cfg_max_target_len()) if pad_to_fixed else None
+        mult = getattr(self, "length_multiple", 1)
+        tgt_bucket = length_buckets(max_target_len or self.cfg_max_target_len(),
+                                    multiple=mult) if pad_to_fixed else None
 
         dec = [s["decoder_input"] for s in samples]
         if not pad_to_fixed:
-            tgt_bucket = [max(len(d) for d in dec)]
+            longest = max(len(d) for d in dec)
+            tgt_bucket = [-(-longest // mult) * mult]
         decoder_input, tgt_mask = pad_to_bucket(dec, tgt_bucket, pad,
                                                 rows_multiple=rows_multiple)
         prompt = [np.asarray(s.get("prompt_mask",
@@ -253,9 +258,10 @@ class Task:
 
         if self.model_type == "encoder_decoder":
             enc = [s["encoder_input"] for s in samples]
-            src_bucket = length_buckets(max_source_len or
-                                        self.cfg_max_source_len()) if pad_to_fixed \
-                else [max(len(e) for e in enc)]
+            src_bucket = length_buckets(
+                max_source_len or self.cfg_max_source_len(),
+                multiple=mult) if pad_to_fixed \
+                else [-(-max(len(e) for e in enc) // mult) * mult]
             is_features = enc[0].ndim > 1
             src_tokens, src_mask = pad_to_bucket(
                 enc, src_bucket, 0.0 if is_features else pad,

@@ -59,6 +59,8 @@ class Trainer:
         self.task = task
         self.model = model
         self.mesh = mesh
+        from ..parallel.context import set_context_mesh
+        set_context_mesh(mesh)  # ring attention rides this mesh's 'seq' axis
         self.adapter_info = adapter_info or {}
         self.metrics = metrics or Metrics(window=cfg.log_interval)
         self.rules = list(fsdp_rules() if cfg.fsdp else LOGICAL_RULES)

@@ -49,8 +49,10 @@ def make_batch(B=8, S=16, T=16, vocab=64):
 
 def run_one_step(mesh_kwargs, tmp):
     cfg = make_cfg(tmp, **mesh_kwargs)
-    n = (cfg.dp_size or 1) * cfg.tp_size * cfg.ep_size
-    mesh = make_mesh(cfg.dp_size, cfg.tp_size, cfg.ep_size,
+    n = (cfg.dp_size or 1) * cfg.tp_size * cfg.ep_size * cfg.cp_size
+    if cfg.cp_size > 1:  # what cli/train.py does for --cp-size
+        cfg.model_cfg.attention_kernel = "ring"
+    mesh = make_mesh(cfg.dp_size, cfg.tp_size, cfg.ep_size, cfg.cp_size,
                      devices=jax.devices()[:n])
     model = Transformer(cfg.model_cfg, src_vocab_size=64)
     trainer = Trainer(cfg, task=None, model=model, mesh=mesh)
@@ -59,9 +61,13 @@ def run_one_step(mesh_kwargs, tmp):
 
 
 def test_mesh_factorizations():
-    assert make_mesh(8, 1, 1).shape == {"data": 8, "expert": 1, "model": 1}
-    assert make_mesh(2, 2, 2).shape == {"data": 2, "expert": 2, "model": 2}
+    assert make_mesh(8, 1, 1).shape == {"data": 8, "expert": 1, "model": 1,
+                                        "seq": 1}
+    assert make_mesh(2, 2, 2).shape == {"data": 2, "expert": 2, "model": 2,
+                                        "seq": 1}
     assert make_mesh(None, 4, 1).shape["data"] == 2
+    assert make_mesh(None, 2, 1, 2).shape == {"data": 2, "expert": 1,
+                                              "model": 2, "seq": 2}
     with pytest.raises(AssertionError):
         make_mesh(3, 3, 1)
 
@@ -73,13 +79,16 @@ def test_dp_tp_composition_matches_single_device():
     losses = {}
     for name, kwargs in [("single", dict(dp_size=1, tp_size=1)),
                          ("dp4_tp2", dict(dp_size=4, tp_size=2)),
-                         ("dp2_tp4", dict(dp_size=2, tp_size=4))]:
+                         ("dp2_tp4", dict(dp_size=2, tp_size=4)),
+                         ("dp2_cp4", dict(dp_size=2, cp_size=4))]:
         with tempfile.TemporaryDirectory() as tmp:
             logs = run_one_step(kwargs, tmp)
         losses[name] = logs["loss"]
         assert np.isfinite(logs["loss"])
     assert abs(losses["single"] - losses["dp4_tp2"]) < 2e-2, losses
     assert abs(losses["single"] - losses["dp2_tp4"]) < 2e-2, losses
+    # context parallelism: sequence sharded over 4 devices, ring attention
+    assert abs(losses["single"] - losses["dp2_cp4"]) < 2e-2, losses
 
 
 def test_fsdp_shards_parameters():
