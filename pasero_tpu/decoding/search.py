@@ -228,16 +228,34 @@ def _unflatten_beam(x, B, K):
 
 
 def _gather_beams(tree, beam_indices, B, K):
-    """Reorder the beam dimension of every (B*K, ...) array in the tree."""
-    flat_idx = (jnp.arange(B)[:, None] * K + beam_indices).reshape(-1)
+    """Reorder the beam dimension of every (B*K, ...) array in the tree.
 
-    def gather(x):
+    Beam reorder is the hot non-forward op of the search loop, so two
+    optimizations matter here:
+    - cross-attention caches are beam-INVARIANT (every beam of a sentence
+      holds the same encoder K/V), so permuting within a sentence's block is
+      a no-op — skip them entirely (half the cache bytes);
+    - the self-attention K/V reorder is expressed as a per-sentence (K, K)
+      one-hot matmul instead of a row gather: the permutation streams through
+      the MXU at full HBM bandwidth instead of the scatter/gather unit.
+    """
+    flat_idx = (jnp.arange(B)[:, None] * K + beam_indices).reshape(-1)
+    onehot = jax.nn.one_hot(beam_indices, K)                 # (B, Knew, Kold)
+
+    def gather(path, x):
         # scalar bookkeeping entries (cache_index, cross_filled) are shared
         if x.ndim == 0 or x.shape[0] != B * K:
             return x
+        if "cross_attn" in jax.tree_util.keystr(path):
+            return x
+        if x.ndim >= 2 and jnp.issubdtype(x.dtype, jnp.floating):
+            xb = x.reshape(B, K, -1)
+            out = jnp.einsum("bnk,bkr->bnr", onehot.astype(x.dtype), xb,
+                             preferred_element_type=x.dtype)
+            return out.reshape(x.shape)
         return jnp.take(x, flat_idx, axis=0)
 
-    return jax.tree_util.tree_map(gather, tree)
+    return jax.tree_util.tree_map_with_path(gather, tree)
 
 
 def beam_search(
