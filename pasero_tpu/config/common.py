@@ -92,6 +92,15 @@ class DecodingConfig(Config):
     repeat_penalty: float = argument(
         1.0, help="divide logits of already-generated tokens by this (sampling only)")
     sampling: bool = argument(False, help="sample instead of beam search")
+    speculative: bool = argument(
+        False, help="greedy decoding with prompt-lookup speculation: verify "
+                    "a chunk of drafted tokens (n-gram continuations of the "
+                    "source/prompt/prefix) per decoder call — exact greedy "
+                    "output, fewer model calls on copy-heavy text. Applies "
+                    "when beam_size=1, no sampling, and no blacklist/stop "
+                    "sequences are set")
+    speculative_draft_len: int = argument(
+        6, help="drafted tokens verified per decoder call with --speculative")
     sampling_topk: int = argument(0, help="restrict sampling to the k best tokens")
     sampling_topp: float = argument(1.0, help="nucleus sampling probability mass")
     sampling_temperature: float = argument(1.0, help="softmax temperature for sampling")

@@ -160,8 +160,16 @@ class TextGenerator:
         max_new = opts["max_new"]
         P = batch["prompt"].shape[1]
         cross_len = batch["src_tokens"].shape[1] if "src_tokens" in batch else 0
-        model = self._make_model(self_cache_len=P + max_new,
-                                 cross_cache_len=cross_len)
+        use_spec = (self.cfg.speculative and beam_size == 1
+                    and not opts.get("sampling", self.cfg.sampling)
+                    and not self.ensemble_params
+                    and not self.task.preprocessor.blacklist
+                    and not any(len(s) for s in
+                                self.task.preprocessor.bin_stop_sequences))
+        spec_k = self.cfg.speculative_draft_len if use_spec else 0
+        model = self._make_model(
+            self_cache_len=P + max_new + (spec_k + 1 if use_spec else 0),
+            cross_cache_len=cross_len)
         encoder_out = encoder_mask = None
         if "src_tokens" in batch:
             # --encoder-decoder-swapping: only the needed half of the model is
@@ -198,7 +206,23 @@ class TextGenerator:
         cfg = self.cfg
         use_sampling = opts.get("sampling", cfg.sampling)
         beam = beam_size
-        if use_sampling or beam == 1:
+        if use_spec:
+            from .search import speculative_greedy_decode
+            lookup = lookup_mask = None
+            if "src_tokens" in batch and batch["src_tokens"].ndim == 2:
+                lookup = jnp.asarray(batch["src_tokens"])
+                lookup_mask = jnp.asarray(batch["src_mask"])
+            out = speculative_greedy_decode(
+                model, decode_params, prompt, prompt_mask,
+                lookup=lookup, lookup_mask=lookup_mask, draft_len=spec_k,
+                max_new=max_new, eos_idx=self.task.eos_idx,
+                pad_idx=self.task.padding_idx,
+                encoder_out=encoder_out, encoder_mask=encoder_mask)
+            tokens = np.asarray(out["tokens"])[:, None]
+            pos_scores = np.asarray(out["scores"])[:, None]
+            lengths = np.asarray(out["lengths"])[:, None]
+            scores = pos_scores.sum(-1) / (lengths + 1.0) ** cfg.len_penalty
+        elif use_sampling or beam == 1:
             self.rng, rng = jax.random.split(self.rng)
             stop_seqs = tuple(tuple(int(i) for i in s)
                               for s in self.task.preprocessor.bin_stop_sequences

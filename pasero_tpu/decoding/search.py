@@ -433,3 +433,173 @@ def beam_search(
     fin_lengths = jnp.take_along_axis(fin_lengths, order, axis=1)
     return {"tokens": fin_tokens, "scores": fin_scores,
             "positional_scores": fin_pos_scores, "lengths": fin_lengths}
+
+
+# ---------------------------------------------------------------------------
+# speculative greedy decoding (prompt-lookup drafts)
+# ---------------------------------------------------------------------------
+
+def _lookup_draft(lookup, lookup_valid, last, prev, K):
+    """Draft K tokens by n-gram matching against `lookup` (B, Ls).
+
+    Finds the most recent position j with lookup[j] == last (preferring
+    bigram matches where lookup[j-1] == prev) and proposes the K tokens that
+    followed it. Samples without a match draft `last` repeated — a bad draft
+    only wastes verification compute, never changes the output.
+    """
+    B, Ls = lookup.shape
+    match = (lookup == last[:, None]) & lookup_valid
+    prev_ok = jnp.concatenate(
+        [jnp.ones((B, 1), bool), lookup[:, :-1] == prev[:, None]], axis=1)
+    bigram = match & prev_ok
+    use = jnp.where(bigram.any(axis=1, keepdims=True), bigram, match)
+    j = Ls - 1 - jnp.argmax(use[:, ::-1], axis=1)            # last True
+    has = use.any(axis=1)
+    idx = j[:, None] + 1 + jnp.arange(K)[None]               # (B, K)
+    ok = has[:, None] & (idx < Ls)
+    idx_c = jnp.clip(idx, 0, Ls - 1)
+    draft = jnp.take_along_axis(lookup, idx_c, axis=1)
+    ok &= jnp.take_along_axis(lookup_valid, idx_c, axis=1)
+    return jnp.where(ok, draft, last[:, None]).astype(jnp.int32)
+
+
+def _rewind_cache(cache, new_index):
+    """Reset the scalar write index (and relative-bias step) of every layer
+    cache after a partially-accepted speculative chunk; stale K/V beyond the
+    index are masked out by the cache validity check and overwritten by the
+    next chunk."""
+    def fix(path, x):
+        name = jax.tree_util.keystr(path)
+        if "cache_index" in name or "bias_step" in name:
+            return jnp.asarray(new_index, x.dtype)
+        return x
+    return jax.tree_util.tree_map_with_path(fix, cache)
+
+
+def speculative_greedy_decode(
+    model, params, prompt, prompt_mask, *,
+    max_new: int, eos_idx: int, pad_idx: int,
+    encoder_out=None, encoder_mask=None,
+    lookup=None, lookup_mask=None, draft_len: int = 6,
+):
+    """Greedy decoding with prompt-lookup speculation — EXACT greedy output.
+
+    A capability the reference lacks: each loop iteration verifies a chunk of
+    ``draft_len`` drafted tokens (n-gram continuation from the source /
+    prompt / generated prefix) in ONE batched decoder forward and accepts the
+    longest batch-common correct prefix plus one bonus token, so copy-heavy
+    output (translation, summarization, code) advances several tokens per
+    model call. Rejected positions rewind the KV-cache write index; accepted
+    tokens are bit-identical to plain greedy decoding.
+
+    prompt: (B, P) LEFT-padded. lookup: optional (B, Ls) token source for
+    drafting (defaults to the prompt). The model must be built with
+    ``self_cache_len >= P + max_new + draft_len + 1``.
+    """
+    B, P = prompt.shape
+    K = draft_len
+    W = max_new + K + 1
+    prompt_len = prompt_mask.sum(axis=1).astype(jnp.int32)
+    pad_valid = jnp.concatenate([prompt_mask, jnp.ones((B, W), bool)], axis=1)
+
+    if lookup is None:
+        lookup, lookup_mask = prompt, prompt_mask
+    if lookup_mask is None:
+        lookup_mask = jnp.ones(lookup.shape, bool)
+
+    positions0 = (jnp.arange(P)[None, :]
+                  - (P - prompt_len)[:, None]).astype(jnp.int32)
+    last_logits, caches = _members_apply(
+        model, [params] if not isinstance(params, (list, tuple)) else list(params),
+        None, prompt, average=False,
+        encoder_out=encoder_out, encoder_mask=encoder_mask,
+        positions=positions0, tgt_mask=jnp.ones((B, P), bool),
+        self_kv_mask=pad_valid)
+    cache = caches[0]
+    t0 = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
+    lp0 = jnp.take_along_axis(jax.nn.log_softmax(last_logits, -1),
+                              t0[:, None], axis=1)[:, 0]
+
+    dummy_encoder = (jnp.zeros((B, 1, encoder_out.shape[-1]), encoder_out.dtype)
+                     if encoder_out is not None else None)
+
+    tokens_buf0 = jnp.full((B, W), pad_idx, jnp.int32).at[:, 0].set(t0)
+    scores_buf0 = jnp.zeros((B, W), jnp.float32).at[:, 0].set(lp0)
+    finished0 = t0 == eos_idx
+    prev0 = jnp.where(prompt_len > 0,
+                      prompt[jnp.arange(B), -1], pad_idx).astype(jnp.int32)
+
+    def cond(carry):
+        step, *_, finished, _ncalls = carry
+        return (step < max_new) & ~jnp.all(finished)
+
+    def body(carry):
+        (step, cache, tokens_buf, scores_buf, last, prev, finished,
+         ncalls) = carry
+        gen_valid = jnp.broadcast_to(jnp.arange(W)[None, :] < step, (B, W))
+        full_lookup = jnp.concatenate([lookup, tokens_buf], axis=1)
+        full_valid = jnp.concatenate([lookup_mask, gen_valid], axis=1)
+        draft = _lookup_draft(full_lookup, full_valid, last, prev, K)
+
+        chunk = jnp.concatenate([last[:, None], draft], axis=1)   # (B, K+1)
+        positions = (prompt_len[:, None] + step - 1
+                     + jnp.arange(K + 1)[None]).astype(jnp.int32)
+        logits, mutated = model.apply(
+            {"params": params, "cache": cache}, chunk,
+            method=type(model).decode_step, mutable=["cache"],
+            encoder_out=dummy_encoder, encoder_mask=encoder_mask,
+            positions=positions, tgt_mask=jnp.ones((B, K + 1), bool),
+            self_kv_mask=pad_valid)
+        logits = logits.astype(jnp.float32)                       # (B, K+1, V)
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        hit = jnp.cumprod(
+            (draft == greedy[:, :K]).astype(jnp.int32), axis=1)
+        a = hit.sum(axis=1)                                       # (B,)
+        a = jnp.where(finished, K, a)
+        a_min = jnp.min(a)                                        # batch-sync
+
+        # emitted = accepted drafts [0, a_min) + one bonus token at a_min
+        # (greedy continuation of the accepted prefix — correct for every
+        # sample because all accepted >= a_min drafts agree with greedy)
+        cols = jnp.arange(K + 1)[None]
+        draft_p = jnp.pad(draft, ((0, 0), (0, 1)))               # (B, K+1)
+        bonus_col = jnp.take_along_axis(
+            greedy, jnp.broadcast_to(a_min[None, None], (B, 1)), axis=1)
+        emitted = jnp.where(cols < a_min, draft_p, bonus_col)
+        emitted = jnp.where(cols <= a_min, emitted, pad_idx)
+        emitted = jnp.where(finished[:, None], pad_idx, emitted).astype(jnp.int32)
+
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        emit_lp = jnp.take_along_axis(logp, emitted[..., None], axis=-1)[..., 0]
+        emit_lp = jnp.where((cols <= a_min) & ~finished[:, None], emit_lp, 0.0)
+
+        tokens_buf = jax.lax.dynamic_update_slice(
+            tokens_buf, emitted, (0, step))
+        scores_buf = jax.lax.dynamic_update_slice(
+            scores_buf, emit_lp, (0, step))
+
+        new_finished = finished | (emitted == eos_idx).any(axis=1)
+        bonus = emitted[:, a_min]
+        new_prev = jnp.where(a_min > 0, emitted[:, a_min - 1], last)
+        cache = _rewind_cache(mutated["cache"], P + step + a_min)
+        return (step + a_min + 1, cache, tokens_buf, scores_buf,
+                bonus.astype(jnp.int32), new_prev.astype(jnp.int32),
+                new_finished, ncalls + 1)
+
+    init = (jnp.ones((), jnp.int32), cache, tokens_buf0, scores_buf0,
+            t0, prev0, finished0, jnp.ones((), jnp.int32))
+    (step, cache, tokens_buf, scores_buf, _, _, finished,
+     ncalls) = jax.lax.while_loop(cond, body, init)
+
+    tokens_buf = tokens_buf[:, :max_new]
+    scores_buf = scores_buf[:, :max_new]
+    lengths = jnp.argmax(
+        jnp.concatenate([tokens_buf == eos_idx,
+                         jnp.ones((B, 1), bool)], axis=1), axis=1) + 1
+    lengths = jnp.minimum(lengths, max_new)
+    valid = jnp.arange(max_new)[None] < lengths[:, None]
+    tokens_buf = jnp.where(valid, tokens_buf, pad_idx)
+    scores_buf = jnp.where(valid, scores_buf, 0.0)
+    return {"tokens": tokens_buf, "scores": scores_buf, "lengths": lengths,
+            "model_calls": ncalls}

@@ -230,3 +230,73 @@ def test_ensemble_decoding():
                        eos_idx=eos, pad_idx=pad, encoder_out=encoder_out,
                        encoder_mask=encoder_mask)
     assert np.isfinite(np.asarray(beam["scores"])).all()
+
+
+def test_speculative_greedy_matches_plain_encdec():
+    """Speculative (prompt-lookup) greedy == plain greedy, token for token."""
+    from pasero_tpu.decoding.search import speculative_greedy_decode
+    cfg = small_cfg("transformer_small", "translation")
+    pad, eos, bos = cfg.padding_idx, cfg.eos_idx, cfg.bos_idx
+    B, S, max_new, K = 3, 6, 10, 4
+    rng = np.random.default_rng(1)
+    src = rng.integers(4, V, (B, S)).astype(np.int32)
+    src[2, -2:] = pad
+    src = jnp.asarray(src)
+    src_mask = src != pad
+
+    model_plain = Transformer(cfg, src_vocab_size=V,
+                              self_cache_len=1 + max_new, cross_cache_len=S)
+    prompt = jnp.asarray(np.full((B, 1), bos, np.int32))
+    params = model_plain.init(RNG, src_tokens=src,
+                              decoder_input=prompt)["params"]
+    encoder_out, encoder_mask = model_plain.apply(
+        {"params": params}, src, src_mask=src_mask, method=Transformer.encode)
+    plain = sample_decode(model_plain, params, prompt, jnp.ones((B, 1), bool),
+                          max_new=max_new, eos_idx=eos, pad_idx=pad,
+                          greedy=True, encoder_out=encoder_out,
+                          encoder_mask=encoder_mask)
+
+    model_spec = Transformer(cfg, src_vocab_size=V,
+                             self_cache_len=1 + max_new + K + 1,
+                             cross_cache_len=S)
+    spec = speculative_greedy_decode(
+        model_spec, params, prompt, jnp.ones((B, 1), bool),
+        max_new=max_new, eos_idx=eos, pad_idx=pad,
+        encoder_out=encoder_out, encoder_mask=encoder_mask,
+        lookup=src, lookup_mask=src_mask, draft_len=K)
+
+    np.testing.assert_array_equal(np.asarray(plain["tokens"]),
+                                  np.asarray(spec["tokens"]))
+    np.testing.assert_array_equal(np.asarray(plain["lengths"]),
+                                  np.asarray(spec["lengths"]))
+    np.testing.assert_allclose(np.asarray(plain["scores"]),
+                               np.asarray(spec["scores"]), atol=2e-3)
+
+
+def test_speculative_accelerates_copy_task():
+    """When the continuation is in the lookup, fewer model calls are made."""
+    from pasero_tpu.decoding.search import speculative_greedy_decode
+    cfg = small_cfg("llama_7b", "language_modeling", attention_heads_kv=2)
+    pad, eos = max(cfg.padding_idx, 0), cfg.eos_idx
+    max_new, K = 12, 4
+    prompt_ids = [5, 6, 7, 8, 9, 5, 6, 7]  # repeating pattern: drafts hit
+    P = len(prompt_ids)
+    prompt = jnp.asarray([prompt_ids], jnp.int32)
+    pm = jnp.ones((1, P), bool)
+
+    model_plain = Transformer(cfg, src_vocab_size=V,
+                              self_cache_len=P + max_new)
+    params = model_plain.init(RNG, decoder_input=prompt)["params"]
+    plain = sample_decode(model_plain, params, prompt, pm, max_new=max_new,
+                          eos_idx=eos, pad_idx=pad, greedy=True)
+
+    model_spec = Transformer(cfg, src_vocab_size=V,
+                             self_cache_len=P + max_new + K + 1)
+    spec = speculative_greedy_decode(model_spec, params, prompt, pm,
+                                     max_new=max_new, eos_idx=eos,
+                                     pad_idx=pad, draft_len=K)
+    np.testing.assert_array_equal(np.asarray(plain["tokens"]),
+                                  np.asarray(spec["tokens"]))
+    # plain greedy uses one decoder call per token (+ prompt); speculation
+    # must do strictly fewer for any draft hit at all
+    assert int(spec["model_calls"]) <= max_new
