@@ -495,22 +495,40 @@ class PaseroTokenizer:
     @staticmethod
     def build_dict(encoded_vocabs: dict, vocab_size: Optional[int] = None,
                    min_count: int = 1, padding_factor: int = 8,
-                   extra_tokens: Optional[list[str]] = None) -> list[tuple]:
+                   extra_tokens: Optional[list[str]] = None,
+                   placeholders: int = 0, padding_offset: int = 4,
+                   char_coverage: float = 1.0) -> list[tuple]:
         """Merge per-language encoded vocabularies into a (token, count) list
-        sorted by frequency, optionally truncated/padded like the reference CLI."""
+        sorted by frequency, optionally truncated/padded like the reference CLI
+        (cli/tokenizer.py add_dict_args: placeholders, padding offset,
+        character coverage)."""
         total: Counter = Counter()
         for v in encoded_vocabs.values():
             total.update(v)
         items = [(t, c) for t, c in total.most_common() if c >= min_count]
+        if char_coverage < 1.0:
+            # drop the rarest single characters outside the coverage ratio
+            chars = [(t, c) for t, c in items if len(t.lstrip(WORD_SEP)) <= 1]
+            char_total = sum(c for _, c in chars) or 1
+            covered, keep = 0, set()
+            for t, c in chars:  # most_common order
+                if covered / char_total >= char_coverage:
+                    break
+                keep.add(t)
+                covered += c
+            items = [(t, c) for t, c in items
+                     if len(t.lstrip(WORD_SEP)) > 1 or t in keep]
         if vocab_size:
             items = items[:vocab_size]
         for token in extra_tokens or []:
             if all(t != token for t, _ in items):
                 items.append((token, 0))
+        for i in range(placeholders):
+            items.append((f"<placeholder{i}>", 0))
         if padding_factor and padding_factor > 1:
-            # final dictionary size = len(items) + 4 specials, pad to a multiple
-            i = 0
-            while (len(items) + 4) % padding_factor != 0:
+            # final size including `padding_offset` specials, padded to a multiple
+            i = placeholders
+            while (len(items) + padding_offset) % padding_factor != 0:
                 items.append((f"madeupword{i:04}", 0))
                 i += 1
         return items
