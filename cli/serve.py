@@ -22,6 +22,8 @@ def main(argv=None):
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--retriever-url")
+    parser.add_argument("--dtype", choices=["float16", "bfloat16", "float32"],
+                        help="compute dtype for the served models")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s | %(name)s | %(message)s")
@@ -32,7 +34,8 @@ def main(argv=None):
     for spec in args.models:
         path, _, name = spec.partition(":")
         name = name or os.path.basename(os.path.normpath(path))
-        models[name] = TextGenerator.build(path)
+        kwargs = {"dtype": args.dtype} if args.dtype else {}
+        models[name] = TextGenerator.build(path, **kwargs)
     serve(models, host=args.host, port=args.port,
           retriever_url=args.retriever_url)
 

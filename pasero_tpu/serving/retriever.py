@@ -61,9 +61,11 @@ class BM25Index:
 
     # -- persistence ---------------------------------------------------------
     @classmethod
-    def load_collection(cls, path: str) -> "BM25Index":
+    def load_collection(cls, path: str,
+                        save_index: bool = True) -> "BM25Index":
         cache = path + ".bm25.pkl"
-        if os.path.exists(cache) and os.path.getmtime(cache) >= os.path.getmtime(path):
+        if (save_index and os.path.exists(cache)
+                and os.path.getmtime(cache) >= os.path.getmtime(path)):
             with open(cache, "rb") as f:
                 return pickle.load(f)
         documents = []
@@ -79,11 +81,12 @@ class BM25Index:
                 except json.JSONDecodeError:
                     documents.append(line)
         index = cls(documents)
-        try:
-            with open(cache, "wb") as f:
-                pickle.dump(index, f)
-        except OSError:
-            pass
+        if save_index:
+            try:
+                with open(cache, "wb") as f:
+                    pickle.dump(index, f)
+            except OSError:
+                pass
         return index
 
 

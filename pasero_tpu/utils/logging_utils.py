@@ -46,26 +46,30 @@ _VALID_LINE = re.compile(
 _KV = re.compile(r"(\w+) ([\d.eE+-]+)")
 
 
-def parse_logs(path: str) -> dict:
-    """Parse a train.log into {corpus: {step: {metric: value}}}
+def parse_log_lines(lines) -> dict:
+    """Parse train.log lines into {corpus: {step: {metric: value}}}
     (pasero/utils.py:1435-1469). Training lines go under corpus 'train'."""
     out: dict = {}
     last_step = 0
-    with open(path) as f:
-        for line in f:
-            m = _TRAIN_LINE.search(line)
-            if m:
-                step = int(m.group(1))
-                last_step = step
-                metrics = {k: float(v) for k, v in _KV.findall(m.group(2))}
-                out.setdefault("train", {})[step] = metrics
-                continue
-            m = _VALID_LINE.search(line)
-            if m:
-                corpus = m.group(1)
-                metrics = {k: float(v) for k, v in _KV.findall(m.group(2))}
-                out.setdefault(corpus, {})[last_step] = metrics
+    for line in lines:
+        m = _TRAIN_LINE.search(line)
+        if m:
+            step = int(m.group(1))
+            last_step = step
+            metrics = {k: float(v) for k, v in _KV.findall(m.group(2))}
+            out.setdefault("train", {})[step] = metrics
+            continue
+        m = _VALID_LINE.search(line)
+        if m:
+            corpus = m.group(1)
+            metrics = {k: float(v) for k, v in _KV.findall(m.group(2))}
+            out.setdefault(corpus, {})[last_step] = metrics
     return out
+
+
+def parse_logs(path: str) -> dict:
+    with open(path) as f:
+        return parse_log_lines(f)
 
 
 def heatmap(weights, x_labels: list, y_labels: list,

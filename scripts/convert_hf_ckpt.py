@@ -388,6 +388,15 @@ def main(argv=None):
                         help="pasero_tpu architecture name (e.g. llama_7b)")
     parser.add_argument("-o", "--output-dir", required=True)
     parser.add_argument("--task", default=None)
+    parser.add_argument("--dtype", default=None,
+                        choices=["float16", "bfloat16", "float32"],
+                        help="cast converted weights to this dtype "
+                             "(default: keep the source dtype)")
+    parser.add_argument("--heads", type=int,
+                        help="attention head count override (needed for raw "
+                             "official Llama checkpoints without a config)")
+    parser.add_argument("--kv-heads", type=int,
+                        help="KV head count if different from --heads")
     args = parser.parse_args(argv)
 
     from pasero_tpu.config import get_model_config_cls
@@ -397,9 +406,21 @@ def main(argv=None):
                                    or cfg.__class__.__name__.startswith(
                                        ("Llama", "Bloom")) else "translation"))
 
+    if args.heads:
+        cfg.decoder_attention_heads = args.heads
+        cfg.encoder_attention_heads = args.heads
+    if args.kv_heads:
+        cfg.attention_heads_kv = args.kv_heads
+
     sd = load_hf_state_dict(args.model)
     family = detect_family(args.arch)
     flat = CONVERTERS[family](sd, cfg)
+    if args.dtype:
+        import ml_dtypes
+        target = {"float16": np.float16, "float32": np.float32,
+                  "bfloat16": ml_dtypes.bfloat16}[args.dtype]
+        flat = {k: (v.astype(target) if np.issubdtype(v.dtype, np.floating)
+                    else v) for k, v in flat.items()}
 
     os.makedirs(args.output_dir, exist_ok=True)
     with open(os.path.join(args.output_dir, "model_last.npz"), "wb") as f:
