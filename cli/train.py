@@ -333,14 +333,14 @@ def run_training(cfg):
                             break
     except Interrupt:
         logger.info("interrupted: saving model_latest and exiting 143")
-        trainer.save(name="model_latest", update_last=False)
+        trainer.save(name="model_latest", update_last=False, blocking=True)
         sys.exit(143)
     except Restart:
-        trainer.save()
+        trainer.save(blocking=True)
         raise
 
     if cfg.max_steps and trainer.step > trainer.loaded_step:
-        trainer.save()
+        trainer.save(blocking=True)
         trainer.cleanup(best_step=best_step)
     logger.info(f"done at step {trainer.step} "
                 f"({time.time() - start_wall:.0f}s)")

@@ -56,6 +56,52 @@ def restore_tree(template, flat: dict):
                                    dtype=np.asarray(leaf).dtype), template)
 
 
+def _atomic_savez(path: str, flat: dict):
+    """Write-then-rename so a crash mid-save never corrupts an existing
+    checkpoint (the reference can leave a truncated model_latest behind,
+    pasero/training.py:627-636 works around it at load time)."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **flat)
+    os.replace(tmp, path)
+
+
+class AsyncCheckpointer:
+    """One-in-flight background checkpoint writer.
+
+    The device->host transfer and the (potentially multi-GB) npz write run in
+    a worker thread so the training loop only blocks if a previous save is
+    still in progress — the same contract as orbax's async checkpointing,
+    kept in this repo's single-file format.
+    """
+
+    def __init__(self):
+        self._thread = None
+        self._error = None
+
+    def wait(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+    def submit(self, fn, *args, **kwargs):
+        import threading
+        self.wait()
+
+        def run():
+            try:
+                fn(*args, **kwargs)
+            except BaseException as e:   # surfaced on the next wait()
+                self._error = e
+
+        self._thread = threading.Thread(target=run, daemon=True,
+                                        name="ckpt-writer")
+        self._thread.start()
+
+
 def _symlink(target: str, link: str):
     if os.path.islink(link) or os.path.exists(link):
         os.remove(link)
@@ -76,14 +122,15 @@ def save_checkpoint(model_dir: str, step: int, params, opt_state_flat=None,
     if trainable_mask:
         flat = {k: v for k, v in flat.items() if trainable_mask.get(k, True)}
     model_path = os.path.join(model_dir, f"{name}.npz")
-    with open(model_path, "wb") as f:
-        np.savez(f, **flat)
+    _atomic_savez(model_path, flat)
     if opt_state_flat is not None:
-        with open(os.path.join(model_dir, f"optimizer_{step}.npz"), "wb") as f:
-            np.savez(f, **opt_state_flat)
+        _atomic_savez(os.path.join(model_dir, f"optimizer_{step}.npz"),
+                      opt_state_flat)
     state = {"step": step, **(extra or {})}
-    with open(os.path.join(model_dir, f"state_{step}.json"), "w") as f:
+    tmp = os.path.join(model_dir, f"state_{step}.json.tmp")
+    with open(tmp, "w") as f:
         json.dump(state, f)
+    os.replace(tmp, os.path.join(model_dir, f"state_{step}.json"))
     if update_last and name.startswith("model_") and name != "model_latest":
         _symlink(model_path, os.path.join(model_dir, "model_last.npz"))
     logger.info(f"saved checkpoint {model_path}")

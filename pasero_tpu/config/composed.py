@@ -186,6 +186,10 @@ class TrainingConfig(DistributedConfig, TrackerConfig, EvalConfig, DecodingConfi
     keep_interval: Optional[int] = argument(
         help="keep checkpoints whose step is a multiple of this")
     keep_last: int = argument(1, help="number of last checkpoints to keep")
+    async_save: bool = argument(
+        False, help="write checkpoints from a background thread (one save in "
+                    "flight) so the training loop never blocks on the "
+                    "device->host transfer and npz write")
     average_checkpoints: bool = argument(
         False, help="average the last checkpoints before validation")
     validate_at_start: bool = argument(False, help="validate before training")

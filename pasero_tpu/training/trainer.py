@@ -69,6 +69,7 @@ class Trainer:
         if impl:
             jax.config.update("jax_default_prng_impl", impl)
         self.rng = jax.random.PRNGKey(cfg.seed or 0)
+        self._checkpointer = checkpoints.AsyncCheckpointer()
         if getattr(cfg, "benchmark", False):
             from ..utils.benchmark import benchmark
             benchmark.enable()
@@ -360,21 +361,38 @@ class Trainer:
         return {k: float(v) for k, v in out.items()}
 
     # -- checkpointing -------------------------------------------------------
-    def save(self, name: Optional[str] = None, update_last: bool = True):
+    def save(self, name: Optional[str] = None, update_last: bool = True,
+             blocking: Optional[bool] = None):
+        """Checkpoint; with --async-save the host transfer + npz write run in
+        a background thread (one save in flight; next save joins the last)."""
         cfg = self.cfg
-        opt_flat = checkpoints.flatten_tree(self.state.opt_state)
         mask_flat = None
         if cfg.save_trainable_only:
             mask_flat = {k: bool(v) for k, v in checkpoints.flatten_params(
                 self.mask).items()}
-        params_host = jax.tree_util.tree_map(np.asarray, self.state.params)
-        return checkpoints.save_checkpoint(
-            cfg.model_dir, self.step, params_host,
-            opt_state_flat=None if name == "model_latest" else opt_flat,
-            extra={"metrics": self.metrics.state_dict()},
-            name=name, trainable_mask=mask_flat, update_last=update_last)
+        if blocking is None:
+            blocking = not getattr(cfg, "async_save", False)
+        step, extra = self.step, {"metrics": self.metrics.state_dict()}
+        state, opt_wanted = self.state, name != "model_latest"
+
+        def write():
+            opt_flat = (checkpoints.flatten_tree(
+                jax.tree_util.tree_map(np.asarray, state.opt_state))
+                if opt_wanted else None)
+            params_host = jax.tree_util.tree_map(np.asarray, state.params)
+            return checkpoints.save_checkpoint(
+                cfg.model_dir, step, params_host, opt_state_flat=opt_flat,
+                extra=extra, name=name, trainable_mask=mask_flat,
+                update_last=update_last)
+
+        if blocking:
+            self._checkpointer.wait()
+            return write()
+        self._checkpointer.submit(write)
+        return os.path.join(cfg.model_dir, f"{name or f'model_{step}'}.npz")
 
     def cleanup(self, best_step: Optional[int] = None):
+        self._checkpointer.wait()  # never GC around an in-flight write
         checkpoints.cleanup_checkpoints(
             self.cfg.model_dir, keep_last=self.cfg.keep_last,
             keep_interval=self.cfg.keep_interval, best_step=best_step)

@@ -91,3 +91,24 @@ def test_optimizer_tree_roundtrip():
     restored = ckpt.restore_tree(state, flat)
     assert restored is not None
     assert ckpt.restore_tree(state, {}) is None  # mismatch -> None
+
+
+def test_async_checkpointer_and_atomic_save(tmp_path):
+    from pasero_tpu.checkpoints import (AsyncCheckpointer, load_flat,
+                                        save_checkpoint)
+    import numpy as np
+    params = {"layer": {"w": np.ones((4, 4), np.float32)}}
+    ck = AsyncCheckpointer()
+    ck.submit(save_checkpoint, str(tmp_path), 10, params)
+    ck.wait()
+    flat = load_flat(str(tmp_path / "model_10.npz"))
+    assert any("w" in k for k in flat)
+    assert not list(tmp_path.glob("*.tmp")), "tmp files must be renamed away"
+
+    # errors surface on the next wait, not silently
+    def boom():
+        raise RuntimeError("disk full")
+    ck.submit(boom)
+    import pytest
+    with pytest.raises(RuntimeError, match="disk full"):
+        ck.wait()
