@@ -26,12 +26,13 @@ import yaml
 logger = logging.getLogger("train")
 
 
-class Restart(Exception):
-    pass
+class Restart(BaseException):
+    """SIGUSR1 warm restart. BaseException so broad `except Exception`
+    blocks in the data/step path cannot swallow it."""
 
 
-class Interrupt(Exception):
-    pass
+class Interrupt(BaseException):
+    """SIGINT/SIGTERM graceful shutdown (save model_latest, exit 143)."""
 
 
 def setup_logging(model_dir: str, log_file: str):
@@ -261,10 +262,16 @@ def run_training(cfg):
         return generate
 
     # -- signals -------------------------------------------------------------
+    # raise immediately AND set a flag: if the raise lands inside native code
+    # or a try/except that discards it, the per-step flag check still fires
+    pending = {"signal": None}
+
     def on_interrupt(signum, frame):
+        pending["signal"] = Interrupt
         raise Interrupt()
 
     def on_usr1(signum, frame):
+        pending["signal"] = Restart
         raise Restart()
 
     signal.signal(signal.SIGINT, on_interrupt)
@@ -286,6 +293,8 @@ def run_training(cfg):
     start_wall = time.time()
     try:
         while trainer.step < cfg.max_steps:
+            if pending["signal"] is not None:
+                raise pending["signal"]()
             logs = trainer.train_step(batch_iterator)
             step = trainer.step
 
@@ -332,10 +341,12 @@ def run_training(cfg):
                             logger.info("early stopping: out of patience")
                             break
     except Interrupt:
+        pending["signal"] = None
         logger.info("interrupted: saving model_latest and exiting 143")
         trainer.save(name="model_latest", update_last=False, blocking=True)
         sys.exit(143)
     except Restart:
+        pending["signal"] = None
         trainer.save(blocking=True)
         raise
 

@@ -70,3 +70,52 @@ def test_full_cli_pipeline(workdir):
     out = run(["cli.decode", "model", "--beam-size", "2"],
               workdir, stdin="der hund\n")
     assert out.stdout.strip(), "no decoding output"
+
+
+@pytest.mark.slow
+def test_sigterm_saves_latest_and_exits_143(workdir):
+    """SIGTERM -> save model_latest + exit 143 for SLURM requeue
+    (reference cli/train.py:36-58, 748-765)."""
+    import signal
+    import time
+    if not os.path.exists(os.path.join(workdir, "dict.txt")):
+        run(["cli.tokenizer_cli", "build-tokenizer", "train.de", "train.en",
+             "-o", "bpecodes", "--size", "60", "--dict-path", "dict.txt",
+             "--dict-min-count", "1", "--dict-padding-factor", "1"], workdir)
+    args = [sys.executable, "-m", "cli.train", "--data-dir", ".",
+            "-o", "model_sig", "-s", "de", "-t", "en",
+            "--arch", "transformer_small", "--encoder-layers", "1",
+            "--decoder-layers", "1", "--embed-dim", "32",
+            "--encoder-ffn-dim", "64", "--decoder-ffn-dim", "64",
+            "--encoder-attention-heads", "2", "--decoder-attention-heads", "2",
+            "--max-steps", "100000", "--valid-interval", "100000",
+            "--log-interval", "5", "--batch-size", "256", "--lr", "0.003",
+            "--warmup", "10", "--seed", "1", "--dataset-type", "debug"]
+    proc = subprocess.Popen(args, cwd=workdir, env=ENV,
+                            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                            text=True)
+    # consume output continuously so the child never blocks on a full pipe
+    import threading
+    lines = []
+    stepped = threading.Event()
+
+    def reader():
+        for line in proc.stdout:
+            lines.append(line)
+            if "| step " in line:
+                stepped.set()
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    assert stepped.wait(timeout=300), "no training step within 300s:\n" + \
+        "".join(lines)[-2000:]
+    proc.send_signal(signal.SIGTERM)
+    try:
+        proc.wait(timeout=180)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        raise
+    t.join(timeout=30)
+    assert proc.returncode == 143, "".join(lines)[-2000:]
+    latest = os.path.join(workdir, "model_sig", "model_latest.npz")
+    assert os.path.exists(latest), "model_latest.npz not saved on SIGTERM"
