@@ -420,24 +420,30 @@ class TextGenerator:
         max_new = opts.get("max_output_len", self.cfg.max_output_len)
         cfg = self.cfg
 
+        use_sampling_ = opts.get("sampling", cfg.sampling)
+        spec_k = (cfg.speculative_draft_len
+                  if getattr(cfg, "speculative", False) and not use_sampling_
+                  else 0)
+        extra = spec_k + 1 if spec_k else 0
+
         ids = sample["decoder_input"][None, :]
         prompt = jnp.asarray(ids, jnp.int32)
         prompt_mask = jnp.ones_like(prompt, bool)
         P = prompt.shape[1]
         cross_len = 0
         encoder_out = encoder_mask = None
-        model = self._make_model(self_cache_len=P + max_new,
+        model = self._make_model(self_cache_len=P + max_new + extra,
                                  cross_cache_len=cross_len)
         if self.model_cfg.model_type != "decoder":
             enc = jnp.asarray(sample["encoder_input"][None, :])
-            model = self._make_model(self_cache_len=P + max_new,
+            model = self._make_model(self_cache_len=P + max_new + extra,
                                      cross_cache_len=enc.shape[1])
             encoder_out, encoder_mask = model.apply(
                 {"params": self.params}, enc, method=type(model).encode)
 
         positions = jnp.arange(P)[None, :]
         pad_valid = jnp.concatenate(
-            [prompt_mask, jnp.ones((1, max_new), bool)], axis=1)
+            [prompt_mask, jnp.ones((1, max_new + extra), bool)], axis=1)
         logits, mutated = model.apply(
             {"params": self.params}, prompt, encoder_out=encoder_out,
             encoder_mask=encoder_mask, positions=positions,
@@ -478,22 +484,104 @@ class TextGenerator:
         generated: list[int] = []
         stop_seqs = [list(map(int, s))
                      for s in self.task.preprocessor.bin_stop_sequences if len(s)]
+        eos = self.task.eos_idx
+
+        def hit_stop():
+            return any(generated[-len(seq):] == seq for seq in stop_seqs)
 
         def token_stream():
             nonlocal cache, logits_row
             for step_i in range(max_new):
                 token = pick(logits_row)
-                if token == self.task.eos_idx:
+                if token == eos:
                     return
                 generated.append(token)
-                for seq in stop_seqs:
-                    if generated[-len(seq):] == seq:
-                        return
+                if hit_stop():
+                    return
                 yield self.task.debinarize([token])[0]
                 pos = jnp.asarray([[P + step_i]], jnp.int32)
                 cache, new_logits = step(cache, jnp.asarray([[token]], jnp.int32),
                                          pos)
                 logits_row = np.asarray(new_logits[0])
+
+        if spec_k:
+            K = spec_k
+
+            @jax.jit
+            def chunk_step(cache, tokens, pos):
+                logits, mutated = model.apply(
+                    {"params": self.params, "cache": cache}, tokens,
+                    encoder_out=dummy_encoder, encoder_mask=encoder_mask,
+                    positions=pos, tgt_mask=jnp.ones((1, K + 1), bool),
+                    self_kv_mask=pad_valid,
+                    method=type(model).decode_step, mutable=["cache"])
+                return mutated["cache"], logits[0].astype(jnp.float32)
+
+            src = sample.get("encoder_input")
+            src = np.asarray(ids[0] if src is None else src)
+            # speech features (2-D) cannot seed token drafts
+            lookup = [int(t) for t in src] if src.ndim == 1 else []
+
+            def host_draft(last, prev):
+                seq = lookup + generated
+                arr = np.asarray(seq, np.int64)
+                pos = np.flatnonzero(arr[:-1] == last)
+                if len(pos) and prev is not None:
+                    big = pos[(pos > 0) & (arr[np.maximum(pos - 1, 0)] == prev)]
+                    if len(big):
+                        pos = big
+                if not len(pos):
+                    return [last] * K
+                j = int(pos[-1])
+                draft = [int(t) for t in arr[j + 1:j + 1 + K]]
+                return draft + [last] * (K - len(draft))
+
+            def token_stream_spec():
+                """Exact greedy stream advancing several tokens per model
+                call via prompt-lookup speculation (KV-cache rewind on
+                rejection, see search.speculative_greedy_decode)."""
+                nonlocal cache
+                from .search import _rewind_cache
+                token = int(np.argmax(logits_row))
+                while True:
+                    if token == eos or len(generated) >= max_new:
+                        return
+                    generated.append(token)
+                    if hit_stop():
+                        return
+                    yield self.task.debinarize([token])[0]
+                    if len(generated) >= max_new:
+                        return
+                    prev = (generated[-2] if len(generated) >= 2
+                            else (lookup[-1] if lookup else None))
+                    draft = host_draft(token, prev)
+                    chunk = jnp.asarray([[token] + draft], jnp.int32)
+                    pos = jnp.asarray(
+                        [P + len(generated) - 1 + np.arange(K + 1)], jnp.int32)
+                    cache, chunk_logits = chunk_step(cache, chunk, pos)
+                    greedy = np.asarray(jnp.argmax(chunk_logits, -1))
+                    a = 0
+                    while a < K and draft[a] == int(greedy[a]):
+                        accepted = draft[a]
+                        a += 1
+                        if accepted == eos or len(generated) >= max_new:
+                            break
+                        generated.append(accepted)
+                        if hit_stop():
+                            cache = _rewind_cache(cache, P + len(generated))
+                            return
+                        yield self.task.debinarize([accepted])[0]
+                        if len(generated) >= max_new:
+                            cache = _rewind_cache(cache, P + len(generated))
+                            return
+                    if a > 0 and draft[a - 1] == eos:
+                        return  # accepted greedy continuation was EOS
+                    cache = _rewind_cache(cache, P + len(generated))
+                    token = int(greedy[a])
+
+            yield from self.task.preprocessor.detokenize_on_the_fly(
+                token_stream_spec())
+            return
 
         yield from self.task.preprocessor.detokenize_on_the_fly(token_stream())
 
