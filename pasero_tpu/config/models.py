@@ -42,12 +42,13 @@ class TransformerConfig(Config):
         False, help="clamp non-finite block outputs (T5 half-precision trick)")
     attention_key_bias: bool = argument(True, help="bias on attention key projection")
     attention_kernel: str = argument(
-        "xla", choices=["xla", "flash", "ring"],
-        help="attention implementation: fused XLA softmax, the Pallas flash "
-             "kernel (reference auto-selects flash-attn, modules.py:689-705; "
-             "on this TPU generation XLA's fusion matches the Pallas kernel, "
-             "so 'xla' is the default), or ring attention over the 'seq' "
-             "mesh axis for context parallelism (--cp-size)")
+        "auto", choices=["auto", "xla", "flash", "ring"],
+        help="attention implementation: 'auto' (default, mirrors the "
+             "reference's flash-attn auto-selection, modules.py:689-705) "
+             "uses fused XLA softmax for short sequences and the Pallas "
+             "flash kernel when the score matrix would be memory-bound "
+             "(>= 4096^2); 'ring' runs attention over the 'seq' mesh axis "
+             "for context parallelism (--cp-size)")
     dropout: float = argument(0.1, help="residual dropout")
     decoder_dropout: Optional[float] = argument(help="decoder dropout (default: dropout)")
     attention_dropout: float = argument(0.0, help="attention-weight dropout")

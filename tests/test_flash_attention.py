@@ -170,3 +170,32 @@ def test_backward_bias_per_sample_gqa():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-3, rtol=5e-3,
                                    err_msg=f"d{name} mismatch")
+
+
+def test_model_flash_path_is_causal():
+    """Regression: the model's flash dispatch must pass causal/window to the
+    kernel — the wrapper's any()-reduction of a merged (Sq, Sk) mask would
+    otherwise silently drop causality (future-token leakage in training)."""
+    from pasero_tpu.config import get_model_config_cls
+    from pasero_tpu.models import Transformer
+
+    cfg = get_model_config_cls("llama_7b")()
+    cfg.set_defaults("language_modeling")
+    cfg.decoder_layers = 1
+    cfg.embed_dim = 32
+    cfg.decoder_ffn_dim = 64
+    cfg.decoder_attention_heads = 4
+    cfg.attention_heads_kv = 2
+    cfg.dropout = 0.0
+    cfg.attention_kernel = "flash"
+
+    rng = np.random.default_rng(0)
+    dec = jnp.asarray(rng.integers(4, 40, (1, 9)), jnp.int32)
+    model = Transformer(cfg, src_vocab_size=40)
+    params = model.init(jax.random.PRNGKey(0), decoder_input=dec)["params"]
+    logits1 = model.apply({"params": params}, decoder_input=dec)["logits"]
+    dec2 = dec.at[0, -1].set(int(dec[0, -1]) % 35 + 4)
+    logits2 = model.apply({"params": params}, decoder_input=dec2)["logits"]
+    np.testing.assert_allclose(np.asarray(logits1[:, :-1]),
+                               np.asarray(logits2[:, :-1]), atol=1e-5,
+                               err_msg="future token changed past logits")
