@@ -183,7 +183,7 @@ def run_training(cfg):
             logger.info(f"cp_size={cfg.cp_size}: switching attention_kernel "
                         "to 'ring'")
             cfg.model_cfg.attention_kernel = "ring"
-        task.length_multiple = cfg.cp_size
+        task.length_multiple = 2 * cfg.cp_size  # zigzag needs 2 chunks per shard
 
     model = model_cls(cfg.model_cfg,
                       src_vocab_size=(task.encoder_num_embeddings

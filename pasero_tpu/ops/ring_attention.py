@@ -34,6 +34,7 @@ import functools
 from typing import Optional
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 NEG_INF = -1e30
@@ -129,3 +130,109 @@ def ring_attention(q, k, v, kv_mask=None, bias=None, scale: float = 1.0,
         step, (k, v, kv_mask, m0, l0, acc0), jnp.arange(n))
     l_safe = jnp.where(l == 0, 1.0, l)
     return (acc / l_safe[..., None]).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# zigzag layout: balanced causal work
+# ---------------------------------------------------------------------------
+
+def zigzag_indices(S: int, n: int) -> np.ndarray:
+    """Permutation placing chunk pair (i, 2n-1-i) on device i.
+
+    With contiguous shards, causal attention gives device i work ∝ i+1 and
+    the ring waits for the last device; pairing a head chunk with its mirror
+    tail chunk makes every device's useful work equal (~(2n+1) half-blocks),
+    so causal CP attention computes ~half the block products of the
+    contiguous layout."""
+    C = S // (2 * n)
+    order = []
+    for i in range(n):
+        order.append(np.arange(i * C, (i + 1) * C))
+        order.append(np.arange((2 * n - 1 - i) * C, (2 * n - i) * C))
+    return np.concatenate(order)
+
+
+def _zig_positions(idx, n, C):
+    """Global positions of the local (head, tail) chunk pair on device idx."""
+    head = idx * C + jnp.arange(C)
+    tail = (2 * n - 1 - idx) * C + jnp.arange(C)
+    return head, tail
+
+
+def _zero_stats(B, H, Sq, D):
+    return (jnp.zeros((B, H, Sq, D), jnp.float32),
+            jnp.full((B, H, Sq), NEG_INF, jnp.float32),
+            jnp.zeros((B, H, Sq), jnp.float32))
+
+
+def _merge(acc, m, l, acc_i, m_i, l_i):
+    m_new = jnp.maximum(m, m_i)
+    a = jnp.exp(m - m_new)
+    b = jnp.exp(m_i - m_new)
+    return acc * a[..., None] + acc_i * b[..., None], m_new, l * a + l_i * b
+
+
+def zigzag_ring_attention(q, k, v, kv_mask=None, scale: float = 1.0,
+                          window=None, axis_name: str = "seq"):
+    """Causal ring attention over zigzag-laid-out sequence shards.
+
+    Inputs are the PERMUTED shards (zigzag_indices applied to the sequence
+    axis before shard_map): q/k/v (B, H|Hkv, 2C, D) where the first C rows
+    are head chunk `idx` and the last C rows the mirror tail chunk.
+    Per ring step only the half-block products that causality allows are
+    computed (head x head gated on src<=idx, tail x head always, tail x tail
+    gated on src>=idx; head x tail is never needed), so the causal work is
+    both halved and balanced across devices."""
+    n = jax.lax.psum(1, axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    B, H, S2, D = q.shape
+    C = S2 // 2
+    if kv_mask is None:
+        kv_mask = jnp.ones((B, S2), bool)
+
+    q_h, q_t = q[:, :, :C], q[:, :, C:]
+    qh_pos, qt_pos = _zig_positions(idx, n, C)
+
+    def stats(qc, kc, vc, mask_c, q_pos, k_pos):
+        return _block(qc, kc, vc, mask_c, None, q_pos, k_pos, scale, True,
+                      window)
+
+    init = (_zero_stats(B, H, C, D), _zero_stats(B, H, C, D))
+    carry0 = (k, v, kv_mask) + init
+
+    def _vary(x):
+        vma = getattr(jax.typeof(x), "vma", frozenset())
+        return x if axis_name in vma else jax.lax.pvary(x, axis_name)
+    carry0 = jax.tree_util.tree_map(_vary, carry0)
+    perm = [(j, (j + 1) % n) for j in range(n)]
+
+    def step(carry, i):
+        k_blk, v_blk, mask_blk, head_stats, tail_stats = carry
+        src = (idx - i) % n
+        kh, kt = k_blk[:, :, :C], k_blk[:, :, C:]
+        vh, vt = v_blk[:, :, :C], v_blk[:, :, C:]
+        mh, mt = mask_blk[:, :C], mask_blk[:, C:]
+        kh_pos, kt_pos = _zig_positions(src, n, C)
+
+        # head x head: only key chunks src <= idx are in the past
+        head_stats = jax.lax.cond(
+            src <= idx,
+            lambda hs: _merge(*hs, *stats(q_h, kh, vh, mh, qh_pos, kh_pos)),
+            lambda hs: hs, head_stats)
+        # tail x head: every head chunk precedes every tail chunk
+        tail_stats = _merge(*tail_stats,
+                            *stats(q_t, kh, vh, mh, qt_pos, kh_pos))
+        # tail x tail: tail chunk of src is in the past iff src >= idx
+        tail_stats = jax.lax.cond(
+            src >= idx,
+            lambda ts: _merge(*ts, *stats(q_t, kt, vt, mt, qt_pos, kt_pos)),
+            lambda ts: ts, tail_stats)
+        k_blk, v_blk, mask_blk = jax.lax.ppermute(
+            (k_blk, v_blk, mask_blk), axis_name, perm)
+        return (k_blk, v_blk, mask_blk, head_stats, tail_stats), None
+
+    (_, _, _, (acc_h, m_h, l_h), (acc_t, m_t, l_t)), _ = jax.lax.scan(
+        step, carry0, jnp.arange(n))
+    out_h = acc_h / jnp.where(l_h == 0, 1.0, l_h)[..., None]
+    out_t = acc_t / jnp.where(l_t == 0, 1.0, l_t)[..., None]
+    return jnp.concatenate([out_h, out_t], axis=2).astype(q.dtype)

@@ -116,3 +116,63 @@ def test_ring_gradients():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-4,
                                    err_msg=f"d{name} mismatch")
+
+
+def run_zigzag(q, k, v, mesh, kv_mask=None, scale=1.0, window=None):
+    from pasero_tpu.ops.ring_attention import (zigzag_indices,
+                                               zigzag_ring_attention)
+    n = mesh.shape["seq"]
+    S = q.shape[2]
+    zig = zigzag_indices(S, n)
+    inv = np.argsort(zig)
+    qp, kp, vp = (x[:, :, zig] for x in (q, k, v))
+    mp = kv_mask[:, zig] if kv_mask is not None else None
+    fn = functools.partial(zigzag_ring_attention, scale=scale, window=window,
+                           axis_name="seq")
+    shard = P(None, None, "seq", None)
+    wrapped = shard_map(
+        lambda q, k, v, m: fn(q, k, v, kv_mask=m),
+        mesh=mesh,
+        in_specs=(shard, shard, shard,
+                  P(None, "seq") if mp is not None else None),
+        out_specs=shard)
+    out = wrapped(qp, kp, vp, mp)
+    return out[:, :, inv]
+
+
+def test_zigzag_causal_matches_reference():
+    mesh = seq_mesh(4)
+    q, k, v = make_qkv(B=2, H=4, S=64, D=16)
+    out = run_zigzag(q, k, v, mesh, scale=0.25)
+    ref = reference(q, k, v, scale=0.25, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_zigzag_padding_gqa_window():
+    mesh = seq_mesh(4)
+    q, k, v = make_qkv(B=2, H=4, Hkv=2, S=64, D=16)
+    kv_mask = jnp.ones((2, 64), bool).at[:, 50:].set(False)
+    out = run_zigzag(q, k, v, mesh, kv_mask=kv_mask, scale=0.25, window=24)
+    ref = reference(q, k, v, mask=kv_mask[:, None, None, :], scale=0.25,
+                    causal=True, window=24)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_zigzag_gradients():
+    mesh = seq_mesh(4)
+    q, k, v = make_qkv(B=1, H=2, S=32, D=8)
+
+    def loss_zig(q, k, v):
+        return jnp.sum(run_zigzag(q, k, v, mesh, scale=0.3) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(reference(q, k, v, scale=0.3, causal=True) ** 2)
+
+    g1 = jax.grad(loss_zig, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4,
+                                   err_msg=f"d{name} mismatch")
