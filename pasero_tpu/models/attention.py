@@ -12,8 +12,11 @@ design:
 - masks are boolean (True = attend) and biases additive float32, combined once
   before the softmax; the causal/sliding-window structure is computed from
   position indices instead of growing cached mask buffers (modules.py:664-674);
-- kernels: 'xla' (einsum softmax, supports returned weights) or 'flash'
-  (Pallas, pasero_tpu/ops/flash_attention.py) selected by ``kernel``.
+- kernels selected by ``kernel``: 'auto' (default — XLA fused softmax for
+  short sequences, the Pallas flash kernel when the score matrix would be
+  memory-bound), 'xla' (supports returned weights + attention dropout),
+  'flash' (pasero_tpu/ops/flash_attention.py), or 'ring' (context
+  parallelism over the 'seq' mesh axis, pasero_tpu/parallel/context.py).
 """
 
 from __future__ import annotations
