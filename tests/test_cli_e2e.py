@@ -119,3 +119,23 @@ def test_sigterm_saves_latest_and_exits_143(workdir):
     assert proc.returncode == 143, "".join(lines)[-2000:]
     latest = os.path.join(workdir, "model_sig", "model_latest.npz")
     assert os.path.exists(latest), "model_latest.npz not saved on SIGTERM"
+
+
+@pytest.mark.slow
+def test_stream_speculative_parity(workdir):
+    """stream() with --speculative emits the identical token stream."""
+    model_dir = os.path.join(workdir, "model")
+    if not os.path.exists(os.path.join(model_dir, "inference.yaml")):
+        pytest.skip("needs the model trained by test_full_cli_pipeline")
+    code = (
+        "from pasero_tpu.decoding.generator import TextGenerator\n"
+        "plain = list(TextGenerator.build(%r, beam_size=1)"
+        ".stream('der hund katze'))\n"
+        "spec = list(TextGenerator.build(%r, beam_size=1, speculative=True,"
+        "speculative_draft_len=3).stream('der hund katze'))\n"
+        "assert plain == spec, (plain, spec)\n"
+        "print('PARITY', ''.join(w for w, _ in plain))\n" % (model_dir, model_dir))
+    result = subprocess.run([sys.executable, "-c", code], env=ENV,
+                            capture_output=True, text=True, timeout=420)
+    assert result.returncode == 0, result.stdout + result.stderr
+    assert "PARITY" in result.stdout
