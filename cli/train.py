@@ -353,6 +353,7 @@ def run_training(cfg):
     if cfg.max_steps and trainer.step > trainer.loaded_step:
         trainer.save(blocking=True)
         trainer.cleanup(best_step=best_step)
+    trainer.finalize()  # join any in-flight async save before exiting
     logger.info(f"done at step {trainer.step} "
                 f"({time.time() - start_wall:.0f}s)")
 

@@ -87,6 +87,15 @@ class AsyncCheckpointer:
             err, self._error = self._error, None
             raise err
 
+    def check(self):
+        """Surface a stored write error without joining an in-flight save."""
+        if self._thread is not None and not self._thread.is_alive():
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
     def submit(self, fn, *args, **kwargs):
         import threading
         self.wait()
@@ -115,22 +124,28 @@ def save_checkpoint(model_dir: str, step: int, params, opt_state_flat=None,
 
     ``trainable_mask``: optional flat {key: bool} limiting saved params
     (--save-trainable-only, pasero/training.py:169-174).
+
+    ``model_latest`` (the interrupt/requeue checkpoint) carries the full train
+    state like the reference's (pasero/utils.py:1505-1535): its optimizer and
+    step/metrics go to ``optimizer_latest.npz`` / ``state_latest.json`` so a
+    SLURM-requeued run resumes at the interrupted step with a live optimizer.
     """
     os.makedirs(model_dir, exist_ok=True)
     name = name or f"model_{step}"
+    tag = "latest" if name == "model_latest" else str(step)
     flat = flatten_params(params)
     if trainable_mask:
         flat = {k: v for k, v in flat.items() if trainable_mask.get(k, True)}
     model_path = os.path.join(model_dir, f"{name}.npz")
     _atomic_savez(model_path, flat)
     if opt_state_flat is not None:
-        _atomic_savez(os.path.join(model_dir, f"optimizer_{step}.npz"),
+        _atomic_savez(os.path.join(model_dir, f"optimizer_{tag}.npz"),
                       opt_state_flat)
     state = {"step": step, **(extra or {})}
-    tmp = os.path.join(model_dir, f"state_{step}.json.tmp")
+    tmp = os.path.join(model_dir, f"state_{tag}.json.tmp")
     with open(tmp, "w") as f:
         json.dump(state, f)
-    os.replace(tmp, os.path.join(model_dir, f"state_{step}.json"))
+    os.replace(tmp, os.path.join(model_dir, f"state_{tag}.json"))
     if update_last and name.startswith("model_") and name != "model_latest":
         _symlink(model_path, os.path.join(model_dir, "model_last.npz"))
     logger.info(f"saved checkpoint {model_path}")
@@ -150,8 +165,27 @@ def load_flat(path: str) -> dict:
 
 def checkpoint_step(model_dir: str, model_path: str) -> Optional[int]:
     real = os.path.realpath(model_path)
-    m = re.match(r"model_(\d+)\.npz", os.path.basename(real))
-    return int(m.group(1)) if m else None
+    base = os.path.basename(real)
+    m = re.match(r"model_(\d+)\.npz", base)
+    if m:
+        return int(m.group(1))
+    if base == "model_latest.npz":
+        state = load_state(model_dir, "latest")
+        if state.get("step"):
+            return int(state["step"])
+    return None
+
+
+def discard_latest(model_dir: str):
+    """Delete the interrupt checkpoint after a successful resume, like the
+    reference (pasero/cli/train.py:438) — a stale model_latest must never
+    shadow a newer model_last in find_checkpoint_to_load."""
+    for fname in ("model_latest.npz", "optimizer_latest.npz",
+                  "state_latest.json"):
+        path = os.path.join(model_dir, fname)
+        if os.path.exists(path) or os.path.islink(path):
+            os.remove(path)
+            logger.info(f"removed interrupt checkpoint file {fname}")
 
 
 def find_checkpoint_to_load(model_dir: str, ckpt: Optional[str] = None,
@@ -212,7 +246,8 @@ def load_params(path: str, init_params, flexible: bool = False,
     return unflatten_params(out), missing, unexpected
 
 
-def load_state(model_dir: str, step: int) -> dict:
+def load_state(model_dir: str, step) -> dict:
+    """``step`` may be an int or the literal tag 'latest'."""
     path = os.path.join(model_dir, f"state_{step}.json")
     if os.path.exists(path):
         with open(path) as f:
@@ -220,7 +255,8 @@ def load_state(model_dir: str, step: int) -> dict:
     return {}
 
 
-def load_optimizer_flat(model_dir: str, step: int) -> Optional[dict]:
+def load_optimizer_flat(model_dir: str, step) -> Optional[dict]:
+    """``step`` may be an int or the literal tag 'latest'."""
     path = os.path.join(model_dir, f"optimizer_{step}.npz")
     return load_flat(path) if os.path.exists(path) else None
 

@@ -174,11 +174,12 @@ def sample_decode(
         return logits
 
     def cond(carry):
-        step, _, _, _, _, finished, _ = carry
+        step, _, _, _, _, finished, _, _ = carry
         return (step < max_new) & ~jnp.all(finished)
 
     def body(carry):
-        step, cache, logits, tokens_buf, scores_buf, finished, rng = carry
+        (step, cache, logits, tokens_buf, scores_buf, finished, finish_step,
+         rng) = carry
         rng, sample_rng = jax.random.split(rng)
         logits = mask_logits(logits, step)
         token, logprob = _apply_sampling_filters(
@@ -190,7 +191,12 @@ def sample_decode(
 
         hit_stop = _stop_sequence_hit(tokens_buf, step + 1,
                                       stop_sequences)
-        finished = finished | (token == eos_idx) | hit_stop
+        now_finished = finished | (token == eos_idx) | hit_stop
+        # record the step a row finishes (EOS *or* stop sequence), so lengths
+        # don't report max_new for stop-sequence-terminated rows
+        finish_step = jnp.where(now_finished & ~finished, step + 1,
+                                finish_step)
+        finished = now_finished
 
         pos = (prompt_len + step)[:, None]
         new_logits, new_cache = _members_apply(
@@ -199,19 +205,20 @@ def sample_decode(
             positions=pos, tgt_mask=jnp.ones((B, 1), bool),
             self_kv_mask=pad_valid)
         return (step + 1, new_cache, new_logits,
-                tokens_buf, scores_buf, finished, rng)
+                tokens_buf, scores_buf, finished, finish_step, rng)
 
     init = (jnp.zeros((), jnp.int32), cache, last_logits,
             jnp.full((B, max_new), pad_idx, jnp.int32),
             jnp.zeros((B, max_new), jnp.float32),
-            jnp.zeros((B,), bool), rng)
+            jnp.zeros((B,), bool),
+            jnp.full((B,), max_new, jnp.int32), rng)
 
-    step, cache, _, tokens_buf, scores_buf, finished, _ = jax.lax.while_loop(
-        cond, body, init)
-    lengths = jnp.argmax(
-        jnp.concatenate([tokens_buf == eos_idx,
-                         jnp.ones((B, 1), bool)], axis=1), axis=1) + 1
-    lengths = jnp.minimum(lengths, max_new)
+    (step, cache, _, tokens_buf, scores_buf, finished, finish_step,
+     _) = jax.lax.while_loop(cond, body, init)
+    lengths = jnp.minimum(finish_step, max_new)
+    valid = jnp.arange(max_new)[None] < lengths[:, None]
+    tokens_buf = jnp.where(valid, tokens_buf, pad_idx)
+    scores_buf = jnp.where(valid, scores_buf, 0.0)
     return {"tokens": tokens_buf, "scores": scores_buf, "lengths": lengths}
 
 

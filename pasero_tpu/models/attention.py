@@ -35,6 +35,23 @@ Dtype = Any
 
 NEG_INF = -1e9  # large finite value: safe for padded rows (softmax of all -1e9 is uniform, masked later)
 
+_RING_DROPOUT_WARNED = False
+
+
+def _warn_ring_dropout():
+    """Ring attention (--cp-size) cannot apply attention dropout — the
+    blockwise online-softmax accumulation has no per-weight dropout hook.
+    Warn once instead of silently diverging from the configured
+    regularization; residual/FFN dropout still applies."""
+    global _RING_DROPOUT_WARNED
+    if not _RING_DROPOUT_WARNED:
+        _RING_DROPOUT_WARNED = True
+        import logging
+        logging.getLogger("models").warning(
+            "attention_dropout > 0 is ignored with --cp-size (ring attention "
+            "has no attention-dropout path); residual/activation dropout "
+            "still applies")
+
 
 def dot_product_attention(q, k, v, mask=None, bias=None, scale=1.0,
                           dropout_rate=0.0, dropout_rng=None,
@@ -132,6 +149,8 @@ class MultiheadAttention(nn.Module):
         use_ring = (self.kernel == "ring" and not decode
                     and not return_weights and not self.cross_attention)
         if use_ring:
+            if self.dropout > 0 and not deterministic:
+                _warn_ring_dropout()  # ring has no attention-dropout path
             from ..parallel.context import ring_self_attention
             kv_mask = mask[:, 0, 0, :] if mask is not None else None
             out = ring_self_attention(q, k, v, kv_mask=kv_mask, bias=bias,

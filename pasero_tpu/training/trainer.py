@@ -181,24 +181,31 @@ class Trainer:
             path, self.state.params, flexible=cfg.flexible,
             reset_params_regex=cfg.reset_params_regex)
         self.state = self.state.replace(params=params)
+        is_latest = (os.path.basename(path) == "model_latest.npz")
+        tag = "latest" if is_latest else None
         step = checkpoints.checkpoint_step(cfg.model_dir, path)
         in_model_dir = os.path.realpath(path).startswith(
             os.path.realpath(cfg.model_dir))
         resume = in_model_dir and not cfg.reset_optimizer and step
         if resume or (cfg.continue_ and step and not cfg.reset_optimizer):
-            opt_flat = checkpoints.load_optimizer_flat(cfg.model_dir, step)
+            opt_flat = checkpoints.load_optimizer_flat(
+                cfg.model_dir, tag or step)
             if opt_flat is not None:
                 restored = checkpoints.restore_tree(self.state.opt_state, opt_flat)
                 if restored is not None:
                     self.state = self.state.replace(opt_state=restored)
                 else:
                     logger.warning("optimizer state mismatch; resetting optimizer")
-            state_meta = checkpoints.load_state(cfg.model_dir, step)
+            state_meta = checkpoints.load_state(cfg.model_dir, tag or step)
             if state_meta.get("metrics"):
                 self.metrics.load_state_dict(state_meta["metrics"])
             self.state = self.state.replace(step=jnp.asarray(step, jnp.int32))
             self.loaded_step = step
             logger.info(f"resumed at step {step}")
+        if is_latest:
+            # a stale interrupt checkpoint must not shadow future model_last
+            # saves; the reference deletes it after resuming (cli/train.py:438)
+            checkpoints.discard_latest(cfg.model_dir)
 
     # -- jitted steps --------------------------------------------------------
     def _jit_steps(self):
@@ -363,8 +370,16 @@ class Trainer:
     # -- checkpointing -------------------------------------------------------
     def save(self, name: Optional[str] = None, update_last: bool = True,
              blocking: Optional[bool] = None):
-        """Checkpoint; with --async-save the host transfer + npz write run in
-        a background thread (one save in flight; next save joins the last)."""
+        """Checkpoint; with --async-save only the npz disk write runs in a
+        background thread (one save in flight; next save joins the last).
+
+        The device->host snapshot happens synchronously on the caller thread:
+        _apply_step donates the TrainState buffers, so a background thread
+        reading ``self.state`` after the next train step would touch deleted
+        device arrays. jax.device_get here completes before the loop resumes,
+        and the slow part — the multi-GB compressed npz write — still
+        overlaps with training.
+        """
         cfg = self.cfg
         mask_flat = None
         if cfg.save_trainable_only:
@@ -373,13 +388,13 @@ class Trainer:
         if blocking is None:
             blocking = not getattr(cfg, "async_save", False)
         step, extra = self.step, {"metrics": self.metrics.state_dict()}
-        state, opt_wanted = self.state, name != "model_latest"
+        # model_latest carries the optimizer too (optimizer_latest.npz), so a
+        # requeued run resumes with full train state (utils.py:1505-1535)
+        opt_flat = checkpoints.flatten_tree(
+            jax.device_get(self.state.opt_state))
+        params_host = jax.device_get(self.state.params)
 
         def write():
-            opt_flat = (checkpoints.flatten_tree(
-                jax.tree_util.tree_map(np.asarray, state.opt_state))
-                if opt_wanted else None)
-            params_host = jax.tree_util.tree_map(np.asarray, state.params)
             return checkpoints.save_checkpoint(
                 cfg.model_dir, step, params_host, opt_state_flat=opt_flat,
                 extra=extra, name=name, trainable_mask=mask_flat,
@@ -392,7 +407,14 @@ class Trainer:
         return os.path.join(cfg.model_dir, f"{name or f'model_{step}'}.npz")
 
     def cleanup(self, best_step: Optional[int] = None):
-        self._checkpointer.wait()  # never GC around an in-flight write
+        # don't join an in-flight async write (that would make --async-save
+        # fully blocking); GC only matches model_{step}.npz files that already
+        # exist, never the one being written. Surface any stored write error.
+        self._checkpointer.check()
         checkpoints.cleanup_checkpoints(
             self.cfg.model_dir, keep_last=self.cfg.keep_last,
             keep_interval=self.cfg.keep_interval, best_step=best_step)
+
+    def finalize(self):
+        """Join any in-flight async save (call once at end of training)."""
+        self._checkpointer.wait()

@@ -83,6 +83,30 @@ def test_cleanup_keeps_policy(tmp_path):
     assert remaining == ["model_20.npz", "model_40.npz", "model_50.npz"]
 
 
+def test_latest_carries_full_train_state(tmp_path):
+    """model_latest (interrupt save) must carry optimizer + step so a
+    SLURM-requeued run resumes where it stopped, and must be deletable after
+    resume so it never shadows newer model_last (cli/train.py:438)."""
+    d = str(tmp_path)
+    opt_flat = {"m": np.full(3, 0.5, np.float32)}
+    ckpt.save_checkpoint(d, 37, params(), opt_state_flat=opt_flat,
+                         extra={"metrics": {"loss": 1.5}},
+                         name="model_latest", update_last=False)
+    path = ckpt.find_checkpoint_to_load(d)
+    assert path.endswith("model_latest.npz")
+    # step resolves through state_latest.json
+    assert ckpt.checkpoint_step(d, path) == 37
+    # optimizer reachable under the 'latest' tag
+    loaded_opt = ckpt.load_optimizer_flat(d, "latest")
+    np.testing.assert_array_equal(loaded_opt["m"], opt_flat["m"])
+    assert ckpt.load_state(d, "latest")["metrics"] == {"loss": 1.5}
+    # after resume, discard_latest removes every latest-tagged file
+    ckpt.discard_latest(d)
+    assert ckpt.find_checkpoint_to_load(d) is None
+    assert not os.path.exists(os.path.join(d, "optimizer_latest.npz"))
+    assert not os.path.exists(os.path.join(d, "state_latest.json"))
+
+
 def test_optimizer_tree_roundtrip():
     import optax
     tx = optax.adam(1e-3)
