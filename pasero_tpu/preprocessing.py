@@ -59,32 +59,35 @@ class Dictionary:
     def __init__(self, vocab: Union[list, dict], size: Optional[int] = None):
         assert not isinstance(vocab, str), "use Dictionary.build(path)"
         if isinstance(vocab, dict):
+            # HF-style id map; gaps in the id range become unk placeholders
+            by_id = sorted(vocab.items(), key=lambda kv: kv[1])
+            assert by_id and by_id[0][1] >= 0, "negative ids not allowed"
+            self.tokens = [unk] * (by_id[-1][1] + 1)
+            for token, idx in by_id:
+                self.tokens[idx] = token
             self.indices = dict(vocab)
-            vocab_size = max(self.indices.values()) + 1
-            self.tokens = [unk] * vocab_size
-            for w, i in self.indices.items():
-                self.tokens[i] = w
         else:
-            self.tokens = list(vocab)
-            token_set = set(self.tokens)
-            if eos not in token_set:
-                for token in (sep, bos, pad, unk):
-                    assert token not in token_set, (
-                        "dictionary has a partial set of special tokens: either "
-                        "none (fairseq-style) or at least '</s>' (custom-style)")
-                self.tokens = [sep, pad, eos, unk] + self.tokens
-            self.indices = {w: i for i, w in enumerate(self.tokens)}
+            entries = list(vocab)
+            if eos not in entries:  # fairseq-style: specials get ids 0-3
+                clash = sorted({sep, bos, pad, unk} & set(entries))
+                assert not clash, (
+                    f"dictionary has a partial set of special tokens {clash}: "
+                    "either none (fairseq-style) or at least '</s>' "
+                    "(custom-style)")
+                entries[:0] = [sep, pad, eos, unk]
+            self.tokens = entries
+            self.indices = {t: i for i, t in enumerate(entries)}
 
         assert len(self.tokens) == max(self.indices.values()) + 1
         if size is not None:
             self.extend(size)
-        assert all(i >= 0 for i in self.indices.values()), "negative ids not allowed"
 
-        self.eos_idx = self.indices.get(eos)
-        self.padding_idx = self.indices.get(pad, self.indices.get(unk))
-        self.bos_idx = self.indices.get(bos, self.eos_idx)
-        self.unk_idx = self.indices.get(unk, self.padding_idx)
-        self.sep_idx = self.indices.get(sep, self.bos_idx)
+        lookup = self.indices.get
+        self.eos_idx = lookup(eos)
+        self.padding_idx = lookup(pad, lookup(unk))
+        self.bos_idx = lookup(bos, self.eos_idx)
+        self.unk_idx = lookup(unk, self.padding_idx)
+        self.sep_idx = lookup(sep, self.bos_idx)
 
     @classmethod
     def build(cls, path: str, size: Optional[int] = None) -> "Dictionary":
@@ -101,13 +104,14 @@ class Dictionary:
                 print(token, (counts or {}).get(token, 0), file=f)
 
     def extend(self, size: int) -> None:
-        i = 0
-        while size > len(self.tokens):
-            w = f"madeupword{i:04}"
-            if w not in self.indices:
-                self.indices[w] = len(self.tokens)
-                self.tokens.append(w)
-            i += 1
+        """Pad to ``size`` with fairseq 'madeupwordNNNN' filler entries."""
+        fillers = (f"madeupword{n:04}" for n in itertools.count())
+        while len(self.tokens) < size:
+            token = next(fillers)
+            if token in self.indices:
+                continue
+            self.indices[token] = len(self.tokens)
+            self.tokens.append(token)
 
     def __len__(self):
         return len(self.tokens)
