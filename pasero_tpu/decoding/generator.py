@@ -72,6 +72,27 @@ class TextGenerator:
         self._decode_models: dict = {}
         self._encode_fn = None
         self.rng = jax.random.PRNGKey(cfg.seed or 42)
+
+        # mesh-sharded inference (reference: exactly one of DP/TP/PP,
+        # decoding.py:103-108; here one GSPMD mesh composes dp x tp x ep —
+        # TP shards params + KV cache so models bigger than one chip decode,
+        # DP shards batch rows so corpus decoding scales over chips).
+        # --devices N (the reference's inference PP flag) maps onto TP.
+        tp = cfg.tp_size or 1
+        ep = getattr(cfg, "ep_size", 1) or 1
+        dp = cfg.dp_size or 1
+        if tp == 1 and cfg.devices and str(cfg.devices[0]).isdigit():
+            tp = max(tp, len(cfg.devices))
+        self.mesh = None
+        if dp * tp * ep > 1:
+            from ..parallel import make_mesh
+            n_avail = len(jax.devices())
+            assert dp * tp * ep <= n_avail, (
+                f"decode mesh dp={dp} x tp={tp} x ep={ep} needs more devices "
+                f"than available ({n_avail})")
+            self.mesh = make_mesh(dp, tp, ep, 1,
+                                  devices=jax.devices()[:dp * tp * ep])
+        self.param_shardings = None
         if getattr(cfg, "benchmark", False):
             from ..utils.benchmark import benchmark
             benchmark.enable()
@@ -115,15 +136,27 @@ class TextGenerator:
         self.params, missing, unexpected = checkpoints.load_params(
             self.cfg.ckpt, init_params, flexible=self.cfg.flexible,
             other_paths=tuple(self.cfg.other_ckpt or ()))
-        self.params = jax.tree_util.tree_map(jnp.asarray, self.params)
+        if self.mesh is not None:
+            # place parameters with their GSPMD shardings (heads/mlp over
+            # 'model', experts over 'expert'): the same logical rules the
+            # trainer uses, so a 13B/70B checkpoint spreads over the mesh
+            # instead of OOMing one chip; activations and the KV cache follow
+            # by propagation
+            from ..parallel.sharding import param_shardings
+            self.param_shardings = param_shardings(
+                abstract["params"], self.mesh)
+            self.params = jax.device_put(self.params, self.param_shardings)
+        else:
+            self.params = jax.tree_util.tree_map(jnp.asarray, self.params)
         if self.cfg.ensemble_ckpt:
             logger.info(f"ensemble of {1 + len(self.cfg.ensemble_ckpt)} models: "
                         "log-probabilities are averaged at every decode step")
+            place = ((lambda t: jax.device_put(t, self.param_shardings))
+                     if self.mesh is not None
+                     else (lambda t: jax.tree_util.tree_map(jnp.asarray, t)))
             self.ensemble_params = [
-                jax.tree_util.tree_map(
-                    jnp.asarray,
-                    checkpoints.load_params(p, init_params,
-                                            flexible=self.cfg.flexible)[0])
+                place(checkpoints.load_params(p, init_params,
+                                              flexible=self.cfg.flexible)[0])
                 for p in self.cfg.ensemble_ckpt]
         else:
             self.ensemble_params = []
@@ -131,15 +164,25 @@ class TextGenerator:
                     f"({len(missing)} missing, {len(unexpected)} unexpected)")
 
     # -- preprocessing -------------------------------------------------------
+    @property
+    def _rows_multiple(self) -> int:
+        """Row counts must divide the 'data' mesh axis for DP decode; padded
+        dummy rows (all-False mask) keep every shard in lockstep — the SPMD
+        equivalent of the reference's per-rank dummy batches
+        (tasks/task.py:612-645)."""
+        dp = self.mesh.shape["data"] if self.mesh is not None else 1
+        return int(np.lcm(4, dp))
+
     def _prepare_batch(self, samples: list, max_new: int):
         """Collate preprocessed samples into a left-aligned prompt batch."""
         pad = self.task.padding_idx
-        rows = len(samples)
+        rows_multiple = self._rows_multiple
         dec = [s["decoder_input"] for s in samples]
         max_len = max(len(d) for d in dec)
         buckets = length_buckets(
             max(max_len, 8), min_len=8)
-        prompt, prompt_mask = pad_to_bucket(dec, buckets, pad, rows_multiple=4)
+        prompt, prompt_mask = pad_to_bucket(dec, buckets, pad,
+                                            rows_multiple=rows_multiple)
         prompt, prompt_mask = left_align(prompt, prompt_mask, pad)
         batch = {"prompt": prompt, "prompt_mask": prompt_mask}
         if self.model_cfg.model_type != "decoder":
@@ -149,10 +192,21 @@ class TextGenerator:
                                          min_len=8)
             src, src_mask = pad_to_bucket(enc, src_buckets,
                                           0.0 if is_features else pad,
-                                          rows_multiple=4)
+                                          rows_multiple=rows_multiple)
             batch["src_tokens"] = src
             batch["src_mask"] = src_mask
         return batch
+
+    def _place(self, array, batch_axis: bool = True):
+        """Device placement: rows over the 'data' mesh axis when a decode
+        mesh is active, plain transfer otherwise."""
+        if array is None:
+            return None
+        if self.mesh is None:
+            return jnp.asarray(array)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = P("data") if batch_axis else P()
+        return jax.device_put(np.asarray(array), NamedSharding(self.mesh, spec))
 
     # -- decoding ------------------------------------------------------------
     def _decode_batch(self, batch: dict, opts: dict) -> dict:
@@ -180,14 +234,14 @@ class TextGenerator:
                               if k in ("encoder", "shared_embed")}
                 enc_params = jax.device_put(enc_params)
                 encoder_out, encoder_mask = model.apply(
-                    {"params": enc_params}, jnp.asarray(batch["src_tokens"]),
-                    src_mask=jnp.asarray(batch["src_mask"]),
+                    {"params": enc_params}, self._place(batch["src_tokens"]),
+                    src_mask=self._place(batch["src_mask"]),
                     method=type(model).encode)
                 del enc_params
             else:
                 encoder_out, encoder_mask = model.apply(
-                    {"params": self.params}, jnp.asarray(batch["src_tokens"]),
-                    src_mask=jnp.asarray(batch["src_mask"]),
+                    {"params": self.params}, self._place(batch["src_tokens"]),
+                    src_mask=self._place(batch["src_mask"]),
                     method=type(model).encode)
         if self.cfg.encoder_decoder_swapping:
             decode_half = {k: v for k, v in self.params.items()
@@ -201,8 +255,8 @@ class TextGenerator:
                       pad_idx=self.task.padding_idx,
                       encoder_out=encoder_out, encoder_mask=encoder_mask,
                       blacklist=tuple(self.task.preprocessor.blacklist))
-        prompt = jnp.asarray(batch["prompt"])
-        prompt_mask = jnp.asarray(batch["prompt_mask"])
+        prompt = self._place(batch["prompt"])
+        prompt_mask = self._place(batch["prompt_mask"])
         cfg = self.cfg
         use_sampling = opts.get("sampling", cfg.sampling)
         beam = beam_size
@@ -210,8 +264,8 @@ class TextGenerator:
             from .search import speculative_greedy_decode
             lookup = lookup_mask = None
             if "src_tokens" in batch and batch["src_tokens"].ndim == 2:
-                lookup = jnp.asarray(batch["src_tokens"])
-                lookup_mask = jnp.asarray(batch["src_mask"])
+                lookup = self._place(batch["src_tokens"])
+                lookup_mask = self._place(batch["src_mask"])
             out = speculative_greedy_decode(
                 model, decode_params, prompt, prompt_mask,
                 lookup=lookup, lookup_mask=lookup_mask, draft_len=spec_k,
