@@ -306,6 +306,28 @@ class TextGenerator:
         return {"tokens": tokens, "positional_scores": pos_scores,
                 "lengths": lengths, "scores": scores}
 
+    def _prepare_for_meta(self, meta: dict) -> None:
+        """Task hook before decoding a batch with this metadata — NLLB expert
+        pruning hot-swaps the selected experts into the (already compiled)
+        parameter tree on language-pair change (reference
+        prepare_model_for_inference, tasks/nllb_translation.py:113-139).
+        Same shapes, so no recompilation of the decode programs."""
+        if not hasattr(self.task, "load_experts") or self.params is None:
+            return
+        if not (getattr(self.task, "expert_index", None)
+                or getattr(self.task, "expert_ckpt", None)):
+            return
+        src = meta.get("source_lang")
+        tgt = meta.get("target_lang")
+        if src is None or tgt is None:
+            return
+        new_params = self.task.load_experts(self.params, src, tgt)
+        if new_params is not self.params:
+            if getattr(self, "param_shardings", None) is not None:
+                import jax
+                new_params = jax.device_put(new_params, self.param_shardings)
+            self.params = new_params
+
     def decode(self, *inputs, return_scores: bool = False, nbest: int = 1,
                meta: Optional[dict] = None, **opts) -> Any:
         """Decode raw text inputs; returns str (single input) or list[str],
@@ -317,6 +339,7 @@ class TextGenerator:
             else list(inputs)
         meta = self.task.make_meta(**(meta or {}))
         self.task.check_meta(meta)
+        self._prepare_for_meta(meta)
         samples = [self.task.preprocess(
             self.task.input_to_sample(text, meta)) for text in flat_inputs]
         for i, s in enumerate(samples):

@@ -86,12 +86,17 @@ class NLLBTranslationTask(TranslationTask):
             return params
 
         expert_arrays: dict = {}
+        gate_cols: dict = {}          # site -> selected router columns, in order
         global_ids: list = []
         for expert in experts:
             path = self._expert_path(self.expert_dir, expert)
             with np.load(path) as data:
                 for key in data.files:
-                    expert_arrays.setdefault(key, []).append(data[key])
+                    if key.endswith("/gate_col"):
+                        gate_cols.setdefault(key[:-len("/gate_col")], []) \
+                                 .append(int(data[key]))
+                    else:
+                        expert_arrays.setdefault(key, []).append(data[key])
             global_ids.append(int(expert) if not isinstance(expert, str)
                               or expert.isdigit() else len(global_ids))
 
@@ -103,7 +108,32 @@ class NLLBTranslationTask(TranslationTask):
             return leaf
 
         jax.tree_util.tree_map_with_path(visit, params)
+
+        # router pruning: slice the full gates to the selected experts'
+        # columns (reference slices rows of the torch (E, D) gate,
+        # nllb_translation.py:237-250; ours is (D, E) so columns)
+        gate_updates = {}
+        gates_path = os.path.join(self.expert_dir, "gates.npz")
+        if gate_cols and os.path.exists(gates_path):
+            with np.load(gates_path) as gates:
+                for site, cols in gate_cols.items():
+                    key = f"{site}/gate"
+                    if key in gates.files:
+                        gate_updates[key] = self.slice_gate(gates[key], cols)
+
         updates = {}
+        for key, arr in gate_updates.items():
+            target_key = next(
+                (k for k in flat
+                 if k.replace("'", "").replace("][", "/").strip("[]")
+                 .endswith(key)), None)
+            if target_key is None:
+                logger.warning(f"no gate parameter found for site {key}")
+                continue
+            current = flat[target_key]
+            assert current.shape == arr.shape, \
+                f"gate shape mismatch at {key}: {current.shape} vs {arr.shape}"
+            updates[target_key] = arr.astype(np.asarray(current).dtype)
         for key, slices in expert_arrays.items():
             stacked = np.stack(slices, axis=0)
             # match the flat param whose path ends with this site key

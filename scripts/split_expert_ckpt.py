@@ -32,13 +32,23 @@ def main(argv=None):
         return 1
     num_experts = next(iter(expert_keys.values())).shape[0]
     os.makedirs(args.output_dir, exist_ok=True)
+    sites = {k.rsplit("/", 1)[0] for k in expert_keys}
     for e in range(num_experts):
         slice_ = {k: v[e] for k, v in expert_keys.items()}
+        # the expert's column in the (unpruned) router, used by the NLLB
+        # task's gate slicing (tasks/nllb_translation.py:237-250 equivalent)
+        for site in sites:
+            slice_[f"{site}/gate_col"] = np.int32(e)
         path = os.path.join(args.output_dir, f"expert_{e:04}.npz")
         with open(path, "wb") as f:
             np.savez(f, **slice_)
-    print(f"wrote {num_experts} expert files ({len(expert_keys)} sites each) "
-          f"-> {args.output_dir}")
+    # full routers, to be column-sliced per selected expert subset
+    gates = {k: v for k, v in flat.items() if re.search(r"/ffn/gate$", k)}
+    if gates:
+        with open(os.path.join(args.output_dir, "gates.npz"), "wb") as f:
+            np.savez(f, **gates)
+    print(f"wrote {num_experts} expert files ({len(expert_keys)} sites each"
+          f"{', gates.npz' if gates else ''}) -> {args.output_dir}")
 
 
 if __name__ == "__main__":
