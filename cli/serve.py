@@ -32,6 +32,14 @@ def main(argv=None):
     from pasero_tpu.serving import serve
     models = {}
     for spec in args.models:
+        if spec.startswith("hf:"):
+            # serve an unconverted HuggingFace model through the same routes
+            # (reference: cli/serve_hf.py; here one server handles both)
+            from pasero_tpu.serving.hf_server import HFGenerator
+            path = spec[3:]
+            name = path.rstrip("/").split("/")[-1]
+            models[name] = HFGenerator.build(path, dtype=args.dtype)
+            continue
         path, _, name = spec.partition(":")
         name = name or os.path.basename(os.path.normpath(path))
         kwargs = {"dtype": args.dtype} if args.dtype else {}
