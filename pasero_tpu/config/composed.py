@@ -61,6 +61,8 @@ class TrainingDatasetConfig(Config):
         256, help="consecutive lines are grouped into blocks of this size for "
                   "sampling and indexed reads")
     num_workers: int = argument(4, help="tokenizer worker processes")
+    telemetry_interval: float = argument(
+        180, help="seconds between pipeline-statistics log lines (0: off)")
     shuffle: bool = argument(True, help="shuffle corpus lines and batches")
     max_lines: Optional[int] = argument(help="max line pairs per training corpus")
     truncate: bool = argument(False, help="truncate too-long examples instead of skipping")

@@ -3,10 +3,16 @@
 Re-design of pasero/datasets.py:515-1147 for per-host TPU feeding:
 
 - the reference's process tree (reader proc -> tokenizer workers -> batcher ->
-  per-GPU mp.Queues, datasets.py:794-964) becomes one background *thread*
-  pipeline per host feeding a bounded prefetch queue: the heavy lifting
-  (BPE, numpy ops) releases the GIL rarely but tokenization is cheap relative
-  to TPU steps, and a thread avoids pickling/fork issues with JAX;
+  per-GPU mp.Queues, datasets.py:794-964) becomes: a reader thread feeding
+  ``--num-workers`` spawn-context tokenizer processes (order-preserving imap
+  with bounded in-flight work), whose output streams into a batcher thread
+  and a bounded prefetch queue.  Workers never import JAX — the task is
+  pickled into them once at startup;
+- a telemetry thread logs queue depths, skipped %, throughput and host RSS
+  every ``--telemetry-interval`` seconds (reference datasets.py:811-832);
+- ``--cache-data`` keeps preprocessed samples in host memory up to
+  ``--max-cache-size`` GiB for small/speech datasets
+  (reference datasets.py:975-1143);
 - batches are length-sorted inside a large buffer then token-budget batched
   (same buffered_batching semantics incl. --batch-by homogeneous grouping,
   datasets.py:708-730), and padded to bucketed shapes for XLA;
@@ -18,8 +24,10 @@ Re-design of pasero/datasets.py:515-1147 for per-host TPU feeding:
 from __future__ import annotations
 
 import logging
+import pickle
 import queue
 import threading
+import time
 from typing import Iterator, Optional
 
 import numpy as np
@@ -30,6 +38,58 @@ from .data.samplers import LineSampler
 from .utils.metrics import Metrics
 
 logger = logging.getLogger("data")
+
+
+# -- tokenizer worker processes (module-level for picklability) --------------
+
+_WORKER_TASK = None
+_WORKER_TRUNCATE = False
+
+
+def _worker_init(task_blob: bytes, truncate: bool) -> None:
+    global _WORKER_TASK, _WORKER_TRUNCATE
+    _WORKER_TASK = pickle.loads(task_blob)
+    _WORKER_TRUNCATE = truncate
+
+
+def _worker_preprocess(raw: dict):
+    return _WORKER_TASK.preprocess(raw, truncate=_WORKER_TRUNCATE,
+                                   append_eos=True) or None
+
+
+def _sample_tokens(sample: dict) -> int:
+    n = 0
+    for key in ("decoder_input", "encoder_input", "source", "target"):
+        value = sample.get(key)
+        if hasattr(value, "__len__"):
+            n += len(value)
+    return n
+
+
+def _cache_key(raw: dict):
+    parts = []
+    for key in sorted(raw):
+        value = raw[key]
+        if isinstance(value, np.ndarray):
+            parts.append((key, value.shape, str(value.dtype),
+                          hash(value.tobytes())))
+        elif isinstance(value, dict):
+            parts.append((key, tuple(sorted(value.items()))))
+        else:
+            parts.append((key, value))
+    return tuple(parts)
+
+
+def _sample_nbytes(sample: dict) -> int:
+    n = 0
+    for value in sample.values():
+        if isinstance(value, np.ndarray):
+            n += value.nbytes
+        elif isinstance(value, (str, bytes)):
+            n += len(value)
+        else:
+            n += 64
+    return n
 
 
 def batch_sort_key(batch_by, sample) -> tuple:
@@ -50,25 +110,69 @@ class TrainingDatasetBase:
         self.corpora = corpora
         self.rng = rng or np.random.default_rng(dist_cfg.seed)
         self.metrics = Metrics(window=None)
+        # pipeline statistics, read by the telemetry thread
+        self.skipped = 0
+        self.samples_out = 0
+        self.tokens_out = 0
+        self.cache_hits = 0
+        self._cache: dict = {}
+        self._cache_bytes = 0
+        self._cache_full = False
+        self._cache_cap = (int(getattr(cfg, "max_cache_size", 0) * 2 ** 30)
+                           if getattr(cfg, "cache_data", False) else 0)
         task.register_corpora(*corpora)
 
-    def _sample_stream(self) -> Iterator[dict]:
+    def _raw_stream(self) -> Iterator[dict]:
         index = LineIndex.build(self.cfg, self.corpora)
         sampler = LineSampler(
             self.corpora, index, lang_temperature=self.cfg.lang_temperature,
             store_files_under=self.cfg.store_files_under,
             shuffle=self.cfg.shuffle, max_lines=self.cfg.max_lines,
             close_files=self.cfg.close_files, rng=self.rng)
-        skipped = 0
-        for raw in sampler:
-            sample = self.task.preprocess(raw, truncate=self.cfg.truncate,
-                                          append_eos=True)
-            if not sample:
-                skipped += 1
-                if skipped % 10000 == 0:
-                    logger.info(f"skipped {skipped} too-long/filtered samples")
-                continue
-            yield sample
+        yield from sampler
+
+    def _count(self, sample: Optional[dict]) -> Optional[dict]:
+        """Track pipeline statistics; returns the sample (None if skipped)."""
+        if not sample:
+            self.skipped += 1
+            if self.skipped % 10000 == 0:
+                logger.info(
+                    f"skipped {self.skipped} too-long/filtered samples")
+            return None
+        self.samples_out += 1
+        self.tokens_out += _sample_tokens(sample)
+        return sample
+
+    def _preprocess_cached(self, raw: dict) -> Optional[dict]:
+        """Preprocess with the GiB-capped in-memory sample cache
+        (--cache-data, reference datasets.py:975-1143)."""
+        key = _cache_key(raw)
+        sample = self._cache.get(key)
+        if sample is not None:
+            self.cache_hits += 1
+            return dict(sample) if sample else None
+        sample = self.task.preprocess(raw, truncate=self.cfg.truncate,
+                                      append_eos=True)
+        size = _sample_nbytes(sample) if sample else 64
+        if self._cache_bytes + size <= self._cache_cap:
+            self._cache[key] = sample or {}
+            self._cache_bytes += size
+        elif not self._cache_full:
+            self._cache_full = True
+            logger.info(f"preprocessed-sample cache is full "
+                        f"({self._cache_bytes / 2**30:.2f} GiB, "
+                        f"{len(self._cache)} samples)")
+        return sample
+
+    def _sample_stream(self) -> Iterator[dict]:
+        for raw in self._raw_stream():
+            if self._cache_cap:
+                sample = self._preprocess_cached(raw)
+            else:
+                sample = self.task.preprocess(
+                    raw, truncate=self.cfg.truncate, append_eos=True)
+            if self._count(sample):
+                yield sample
 
     def _batched_stream(self) -> Iterator[dict]:
         """buffer -> (group by batch_by) -> length-sort -> token-budget batches."""
@@ -115,16 +219,57 @@ class DebugTrainingDataset(TrainingDatasetBase):
 
 @register_dataset("dynamic")
 class DynamicTrainingDataset(TrainingDatasetBase):
-    """Background-thread pipeline with a bounded prefetch queue."""
+    """reader thread -> N tokenizer worker processes -> batcher thread ->
+    bounded prefetch queue (reference process tree, datasets.py:794-964).
+
+    The worker pool uses the spawn context (JAX in the parent makes fork
+    unsafe) and order-preserving ``imap`` with a bounded number of in-flight
+    samples, so the batch stream is identical to the single-threaded
+    pipeline whenever preprocessing is deterministic."""
 
     QUEUE_SIZE = 16
+    MAX_INFLIGHT_PER_WORKER = 128
 
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
         self._queue: queue.Queue = queue.Queue(maxsize=self.QUEUE_SIZE)
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        self._telemetry_thread: Optional[threading.Thread] = None
         self._error: Optional[BaseException] = None
+        self._pool = None
+
+    def _sample_stream(self) -> Iterator[dict]:
+        import os
+        workers = getattr(self.cfg, "num_workers", 0) or 0
+        # worker processes only help when there are spare cores; on small
+        # hosts fall back to inline preprocessing (saves the IPC overhead)
+        workers = min(workers, max((os.cpu_count() or 1) - 1, 0))
+        if workers <= 0:
+            yield from super()._sample_stream()
+            return
+        if self._pool is None:
+            import multiprocessing as mp
+            ctx = mp.get_context("spawn")
+            self._pool = ctx.Pool(
+                workers, initializer=_worker_init,
+                initargs=(pickle.dumps(self.task), self.cfg.truncate))
+            logger.info(f"started {workers} tokenizer worker processes")
+        inflight = threading.BoundedSemaphore(
+            workers * self.MAX_INFLIGHT_PER_WORKER)
+
+        def feed():
+            for raw in self._raw_stream():
+                if self._stop.is_set():
+                    return
+                inflight.acquire()
+                yield raw
+
+        for sample in self._pool.imap(_worker_preprocess, feed(),
+                                      chunksize=16):
+            inflight.release()
+            if self._count(sample):
+                yield sample
 
     def _worker(self):
         try:
@@ -137,11 +282,41 @@ class DynamicTrainingDataset(TrainingDatasetBase):
             self._error = e
             self._queue.put(None)
 
+    def _telemetry(self, interval: float):
+        """Periodic pipeline statistics (reference datasets.py:811-832)."""
+        import resource
+        prev_samples = prev_tokens = 0
+        prev_time = time.monotonic()
+        while not self._stop.wait(interval):
+            now = time.monotonic()
+            dt = max(now - prev_time, 1e-6)
+            samples = self.samples_out
+            tokens = self.tokens_out
+            total = samples + self.skipped
+            rss_gib = (resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+                       / 2 ** 20)
+            logger.info(
+                f"pipeline | batches queued {self._queue.qsize()}/"
+                f"{self.QUEUE_SIZE} | samples/s {(samples - prev_samples) / dt:.0f}"
+                f" | tokens/s {(tokens - prev_tokens) / dt:.0f}"
+                f" | skipped {self.skipped / total:.2%}"
+                f" | cpu_mem_used {rss_gib:.2f}" +
+                (f" | cache {len(self._cache)} samples "
+                 f"{self._cache_bytes / 2**30:.2f}GiB" if self._cache_cap
+                 else ""))
+            prev_samples, prev_tokens, prev_time = samples, tokens, now
+
     def endless_iterator(self) -> Iterator[dict]:
         if self._thread is None:
             self._thread = threading.Thread(target=self._worker, daemon=True,
                                             name="data-pipeline")
             self._thread.start()
+            interval = getattr(self.cfg, "telemetry_interval", 180)
+            if interval and interval > 0:
+                self._telemetry_thread = threading.Thread(
+                    target=self._telemetry, args=(interval,), daemon=True,
+                    name="data-telemetry")
+                self._telemetry_thread.start()
         while True:
             batch = self._queue.get()
             if batch is None:
@@ -150,6 +325,9 @@ class DynamicTrainingDataset(TrainingDatasetBase):
 
     def close(self):
         self._stop.set()
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool = None
         try:
             while True:
                 self._queue.get_nowait()

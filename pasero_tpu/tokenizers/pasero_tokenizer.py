@@ -168,6 +168,26 @@ class PaseroTokenizer:
         except Exception:
             self._native = None
 
+    def __getstate__(self):
+        """Pickle support for worker processes: the ctypes handle of the C++
+        merge core cannot cross process boundaries (same concern as the
+        reference's SentencePiece pickling workaround,
+        tokenizers/__init__.py:33-167) — drop it and rebuild on unpickle."""
+        state = self.__dict__.copy()
+        state["_native"] = None
+        state["_cache"] = {}
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        try:
+            from .native import NativeBPE
+            ordered = [p for p, _ in sorted(self.merges.items(),
+                                            key=lambda kv: kv[1])]
+            self._native = NativeBPE(ordered)
+        except Exception:
+            self._native = None
+
     def __len__(self) -> int:
         return len(self.merges)
 
