@@ -269,7 +269,7 @@ def beam_search(
     model, params, prompt, prompt_mask, *,
     beam_size: int, max_new: int, eos_idx: int, pad_idx: int,
     encoder_out=None, encoder_mask=None, len_penalty: float = 1.0,
-    min_lengths=None, blacklist: tuple = (),
+    min_lengths=None, blacklist: tuple = (), lineage: Optional[bool] = None,
 ):
     """fairseq-style beam search (decoding.py:1224-1646), fixed shapes.
 
@@ -282,6 +282,19 @@ def beam_search(
     K = beam_size
     V_neg = NEG_INF
     prompt_len = prompt_mask.sum(axis=1).astype(jnp.int32)
+
+    # no-reorder beam attention (attention.lineage_attention): instead of
+    # permuting the self-attention KV cache at every step, track each logical
+    # beam's physical cache row per slot and resolve the lineage inside
+    # attention — the cache permute was the dominant HBM traffic of beam
+    # decode (2.3x measured headroom, PERFORMANCE.md).  Models whose
+    # decode_step has no beam_lineage parameter (LSTM hybrid) use the
+    # permute path.
+    import inspect
+    use_lineage = (K > 1 and "beam_lineage" in inspect.signature(
+        type(model).decode_step).parameters)
+    if lineage is not None:
+        use_lineage = use_lineage and lineage
 
     # expand to B*K rows
     def expand(x):
@@ -331,7 +344,7 @@ def beam_search(
         return score / ((length.astype(jnp.float32) + 1.0) ** len_penalty)
 
     def cond(carry):
-        (step, _, _, _, _, live_scores, fin_scores, _, _, _) = carry
+        (step, _, _, _, _, live_scores, fin_scores, _, _, _, _) = carry
         # stop when no live beam can beat the worst finalized hypothesis
         best_possible = norm(jnp.max(live_scores, axis=1),
                              jnp.full((B,), max_new))
@@ -341,7 +354,8 @@ def beam_search(
 
     def body(carry):
         (step, cache, logprobs, tokens_buf, pos_scores_buf, live_scores,
-         fin_scores, fin_tokens, fin_pos_scores, fin_lengths) = carry
+         fin_scores, fin_tokens, fin_pos_scores, fin_lengths,
+         lineage_buf) = carry
         logprobs = _unflatten_beam(logprobs, B, K)          # (B, K, V)
         logprobs = mask_special(logprobs, step)
         V = logprobs.shape[-1]
@@ -395,20 +409,37 @@ def beam_search(
         pos_scores_buf = pos_scores_buf.at[:, :, step].set(new_step_logprob)
         pos_scores_buf = _flatten_beam(pos_scores_buf)
 
-        cache = _gather_beams(cache, new_beam_idx, B, K)
+        extra = {}
+        if use_lineage:
+            # logical beam k's history = parent's history; the KV row the
+            # next model call writes at slot P+step belongs to beam k itself
+            lineage = jnp.take_along_axis(lineage_buf, new_beam_idx[..., None],
+                                          axis=1)
+            own = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :, None],
+                                   (B, K, 1))
+            lineage = jax.lax.dynamic_update_slice(lineage, own, (0, 0, P + step))
+            extra["beam_lineage"] = lineage
+        else:
+            cache = _gather_beams(cache, new_beam_idx, B, K)
+            lineage = lineage_buf
 
         pos = (prompt_len_k + step)[:, None]
         new_scores, new_cache = _members_apply(
             model, param_list, cache, _flatten_beam(new_token)[:, None],
             average=average, encoder_out=dummy_encoder,
             encoder_mask=encoder_mask_k, positions=pos,
-            tgt_mask=jnp.ones((B * K, 1), bool), self_kv_mask=pad_valid_k)
+            tgt_mask=jnp.ones((B * K, 1), bool), self_kv_mask=pad_valid_k,
+            **extra)
         new_logprobs = (new_scores if average
                         else jax.nn.log_softmax(new_scores, -1))
         return (step + 1, new_cache, new_logprobs, tokens_buf,
                 pos_scores_buf, new_live_scores, fin_scores, fin_tokens,
-                fin_pos_scores, fin_lengths)
+                fin_pos_scores, fin_lengths, lineage)
 
+    # lineage starts as identity: prompt rows are identical across beams
+    lineage0 = (jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :, None],
+                                 (B, K, P + max_new))
+                if use_lineage else jnp.zeros((1, 1, 1), jnp.int32))
     init = (
         jnp.zeros((), jnp.int32), cache, last_logprobs,
         jnp.full((B * K, max_new), pad_idx, jnp.int32),
@@ -418,10 +449,11 @@ def beam_search(
         jnp.full((B, K, max_new), pad_idx, jnp.int32),
         jnp.zeros((B, K, max_new), jnp.float32),
         jnp.zeros((B, K), jnp.int32),
+        lineage0,
     )
     (step, cache, logprobs, tokens_buf, pos_scores_buf, live_scores,
-     fin_scores, fin_tokens, fin_pos_scores, fin_lengths) = jax.lax.while_loop(
-        cond, body, init)
+     fin_scores, fin_tokens, fin_pos_scores, fin_lengths,
+     _) = jax.lax.while_loop(cond, body, init)
 
     # if some rows never produced EOS, fall back to the best live beams
     no_final = fin_scores <= V_neg / 2

@@ -53,6 +53,44 @@ def _warn_ring_dropout():
             "still applies")
 
 
+def lineage_attention(q, k_cache, v_cache, lineage, mask=None, bias=None,
+                      scale=1.0):
+    """Beam-search decode attention WITHOUT cache reordering.
+
+    Instead of permuting the KV cache to follow beam reorders every step
+    (reference decoding.py:1609; the dominant HBM traffic of beam decode),
+    the cache rows stay where they were written and ``lineage[b, k, s]``
+    names the physical row (within sentence b's K-row block) that holds
+    logical beam k's key/value at slot s.  Scores are computed against ALL
+    K physical rows — K× more QK^T/AV FLOPs on the otherwise-idle MXU —
+    and the right lineage is selected on the (small, fp32) score matrix
+    with a one-hot einsum, eliminating the (B·K, H, S, D) cache
+    permute read+write entirely.
+
+    q: (B*K, H, 1, D); k_cache/v_cache: (B*K, H, L, D);
+    lineage: (B, K, L) int32; mask: bool (B*K, 1, 1, L);
+    bias: float (B*K, H|1, 1, L).  Returns (B*K, H, 1, D).
+    """
+    B, K, L = lineage.shape
+    H, D = q.shape[1], q.shape[-1]
+    qb = q.reshape(B, K, H, D)
+    kb = k_cache.reshape(B, K, H, L, D)
+    vb = v_cache.reshape(B, K, H, L, D)
+    # scores against every physical row p: (B, K_logical, P_physical, H, L)
+    scores = jnp.einsum("bkhd,bphld->bkphl", qb, kb,
+                        preferred_element_type=jnp.float32) * scale
+    sel = jax.nn.one_hot(lineage, K, dtype=jnp.float32)      # (B, K, L, P)
+    scores = jnp.einsum("bkphl,bklp->bkhl", scores, sel)
+    if bias is not None:
+        scores = scores + bias.reshape(B, K, bias.shape[1], L).astype(jnp.float32)
+    if mask is not None:
+        scores = jnp.where(mask.reshape(B, K, 1, L), scores, NEG_INF)
+    weights = jax.nn.softmax(scores, axis=-1)                # (B, K, H, L)
+    wsel = jnp.einsum("bkhl,bklp->bkphl", weights, sel)
+    out = jnp.einsum("bkphl,bphld->bkhd", wsel.astype(vb.dtype), vb)
+    return out.reshape(B * K, H, 1, D)
+
+
 def dot_product_attention(q, k, v, mask=None, bias=None, scale=1.0,
                           dropout_rate=0.0, dropout_rng=None,
                           return_weights=False):
@@ -102,6 +140,7 @@ class MultiheadAttention(nn.Module):
         decode: bool = False,
         deterministic: bool = True,
         return_weights: bool = False,
+        beam_lineage: Optional[jnp.ndarray] = None,  # (B0, K, cache_len) int32
     ):
         embed_dim = x_q.shape[-1]
         num_heads = self.num_heads
@@ -142,6 +181,17 @@ class MultiheadAttention(nn.Module):
                 k, v, kv_positions, positions, mask, bias)
 
         scale = head_dim ** -0.5 if self.scale_attn else 1.0
+
+        if (beam_lineage is not None and decode and self.cache_len > 0
+                and not self.cross_attention):
+            if kv_heads != num_heads:
+                k = jnp.repeat(k, num_heads // kv_heads, axis=1)
+                v = jnp.repeat(v, num_heads // kv_heads, axis=1)
+            out = lineage_attention(q, k, v, beam_lineage, mask=mask,
+                                    bias=bias, scale=scale)
+            out = out.transpose(0, 2, 1, 3).reshape(B, Sq, num_heads * head_dim)
+            return Linear(embed_dim, use_bias=self.use_bias, dtype=self.dtype,
+                          kernel_axes=("heads", "embed"), name="out_proj")(out)
 
         # context parallelism: full-forward self-attention rides the 'seq'
         # mesh axis via ring attention (causal/window applied from global

@@ -131,7 +131,8 @@ class TransformerDecoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, encoder_out=None, self_mask=None, cross_mask=None,
                  self_bias=None, positions=None, encoder_positions=None,
-                 decode=False, deterministic=True, return_weights=False):
+                 decode=False, deterministic=True, return_weights=False,
+                 beam_lineage=None):
         cfg = self.cfg
         dropout_rate = cfg.decoder_dropout if cfg.decoder_dropout is not None else cfg.dropout
         dropout = nn.Dropout(rate=dropout_rate, deterministic=deterministic)
@@ -155,7 +156,8 @@ class TransformerDecoderLayer(nn.Module):
         h = norm1(x) if cfg.decoder_prenorm else x
         result = self_attn(h, mask=self_mask, bias=self_bias, positions=positions,
                            decode=decode, deterministic=deterministic,
-                           return_weights=return_weights)
+                           return_weights=return_weights,
+                           beam_lineage=beam_lineage)
         attn_out, self_weights = result if return_weights else (result, None)
 
         tgt_pad_mask = None
@@ -320,7 +322,7 @@ class TransformerDecoder(nn.Module):
     def __call__(self, tokens, encoder_out=None, encoder_mask=None,
                  tgt_mask=None, positions=None, decode=False,
                  self_kv_mask=None, deterministic=True, return_layers=False,
-                 return_weights=False, adapter_ids=None):
+                 return_weights=False, adapter_ids=None, beam_lineage=None):
         """tokens: (B, T) decoder input ids. Returns logits (B, T, V) float32.
 
         self_kv_mask: (B, cache_len) bool — validity of KV-cache slots at
@@ -412,7 +414,8 @@ class TransformerDecoder(nn.Module):
                            positions=positions,
                            encoder_positions=encoder_positions, decode=decode,
                            deterministic=deterministic,
-                           return_weights=return_weights)
+                           return_weights=return_weights,
+                           beam_lineage=beam_lineage)
             if return_weights:
                 x, sw, cw = result
                 self_attn_maps.append(sw)
@@ -527,13 +530,16 @@ class Transformer(nn.Module):
 
     def decode_step(self, tokens, encoder_out=None, encoder_mask=None,
                     positions=None, tgt_mask=None, self_kv_mask=None,
-                    adapter_ids=None):
-        """Single incremental decoding call (updates the 'cache' collection)."""
+                    adapter_ids=None, beam_lineage=None):
+        """Single incremental decoding call (updates the 'cache' collection).
+
+        beam_lineage (B0, K, cache_len): enables no-reorder beam attention —
+        see attention.lineage_attention."""
         return self.decoder(tokens, encoder_out=encoder_out,
                             encoder_mask=encoder_mask, positions=positions,
                             tgt_mask=tgt_mask, decode=True,
                             self_kv_mask=self_kv_mask, deterministic=True,
-                            adapter_ids=adapter_ids)
+                            adapter_ids=adapter_ids, beam_lineage=beam_lineage)
 
     def __call__(self, src_tokens=None, src_mask=None, decoder_input=None,
                  targets=None, prompt_mask=None, deterministic=True,

@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Decode-throughput benchmark (the PERFORMANCE.md decode table).
+
+Measures output tokens/s on transformer-base MT with random params:
+greedy, beam-5 with cache permutation, and beam-5 with lineage attention
+(no cache reorder — attention.lineage_attention).
+
+Usage: python scripts/bench_decode.py [--batch 64] [--max-new 64]
+       [--beam 5] [--src-len 32] [--vocab 32768] [--arch transformer]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=64)
+    parser.add_argument("--max-new", type=int, default=64)
+    parser.add_argument("--beam", type=int, default=5)
+    parser.add_argument("--src-len", type=int, default=32)
+    parser.add_argument("--vocab", type=int, default=32768)
+    parser.add_argument("--arch", default="transformer")
+    parser.add_argument("--repeats", type=int, default=3)
+    args = parser.parse_args(argv)
+
+    from pasero_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pasero_tpu.config import get_model_config_cls
+    from pasero_tpu.decoding.search import beam_search, sample_decode
+    from pasero_tpu.models.transformer import Transformer
+
+    cfg = get_model_config_cls(args.arch)()
+    cfg.set_defaults("translation")
+    cfg.dropout = 0.0
+    B, S, K, N = args.batch, args.src_len, args.beam, args.max_new
+    V = args.vocab
+    pad, bos, eos = cfg.padding_idx, cfg.bos_idx, cfg.eos_idx
+
+    model = Transformer(cfg, src_vocab_size=V, self_cache_len=1 + N,
+                        cross_cache_len=S)
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.integers(4, V, (B, S)), jnp.int32)
+    prompt = jnp.full((B, 1), max(bos, eos), jnp.int32)
+    prompt_mask = jnp.ones((B, 1), bool)
+    params = model.init(jax.random.PRNGKey(0), src_tokens=src,
+                        decoder_input=prompt)["params"]
+    encoder_out, encoder_mask = model.apply({"params": params}, src,
+                                            method=Transformer.encode)
+
+    def timed(label, fn):
+        out = fn()                      # compile + warm
+        tokens = int(np.asarray(out["tokens"]).size and
+                     np.asarray(out["lengths"]).reshape(B, -1)[:, 0].sum())
+        best = float("inf")
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            out = fn()
+            # axon's block_until_ready can return early; a device->host
+            # transfer forces completion
+            np.asarray(out["tokens"])
+            best = min(best, time.perf_counter() - t0)
+        rate = tokens / best
+        print(f"{label:45s} {rate/1000:8.1f}k tok/s   "
+              f"({best*1000/N:.2f} ms/decoder call, {tokens} tokens)")
+        return rate
+
+    common = dict(max_new=N, eos_idx=eos, pad_idx=pad,
+                  encoder_out=encoder_out, encoder_mask=encoder_mask)
+    greedy = jax.jit(lambda: sample_decode(model, params, prompt, prompt_mask,
+                                           greedy=True, **common))
+    beam_permute = jax.jit(lambda: beam_search(model, params, prompt,
+                                               prompt_mask, beam_size=K,
+                                               lineage=False, **common))
+    beam_lineage = jax.jit(lambda: beam_search(model, params, prompt,
+                                               prompt_mask, beam_size=K,
+                                               lineage=True, **common))
+    timed("greedy", greedy)
+    permute_rate = timed(f"beam-{K} cache permute", beam_permute)
+    lineage_rate = timed(f"beam-{K} lineage (no reorder)", beam_lineage)
+    print(f"lineage speedup over permute: {lineage_rate/permute_rate:.2f}x")
+
+
+if __name__ == "__main__":
+    main()

@@ -300,3 +300,33 @@ def test_speculative_accelerates_copy_task():
     # plain greedy uses one decoder call per token (+ prompt); speculation
     # must do strictly fewer for any draft hit at all
     assert int(spec["model_calls"]) <= max_new
+
+
+def test_beam_lineage_matches_permute():
+    """No-reorder lineage attention (attention.lineage_attention) produces
+    token- and score-identical beams to the cache-permute path."""
+    cfg = small_cfg("transformer_small", "translation")
+    pad, eos, bos = cfg.padding_idx, cfg.eos_idx, cfg.bos_idx
+    B, S, K = 3, 7, 4
+    src = jnp.asarray(np.random.default_rng(5).integers(4, V, (B, S)), jnp.int32)
+    model = Transformer(cfg, src_vocab_size=V, self_cache_len=2 + MAX_NEW,
+                        cross_cache_len=S)
+    # multi-token forced prompt exercises prompt slots in the lineage
+    prompt = jnp.asarray([[pad, bos], [bos, 9], [bos, 12]], jnp.int32)
+    prompt_mask = jnp.asarray([[False, True], [True, True], [True, True]])
+    params = model.init(RNG, src_tokens=src, decoder_input=prompt)["params"]
+    encoder_out, encoder_mask = model.apply(
+        {"params": params}, src, method=Transformer.encode)
+    common = dict(beam_size=K, max_new=MAX_NEW, eos_idx=eos, pad_idx=pad,
+                  encoder_out=encoder_out, encoder_mask=encoder_mask)
+    out_lineage = beam_search(model, params, prompt, prompt_mask,
+                              lineage=True, **common)
+    out_permute = beam_search(model, params, prompt, prompt_mask,
+                              lineage=False, **common)
+    np.testing.assert_array_equal(np.asarray(out_lineage["tokens"]),
+                                  np.asarray(out_permute["tokens"]))
+    np.testing.assert_allclose(np.asarray(out_lineage["scores"]),
+                               np.asarray(out_permute["scores"]),
+                               rtol=2e-2, atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(out_lineage["lengths"]),
+                                  np.asarray(out_permute["lengths"]))
