@@ -328,10 +328,53 @@ class TextGenerator:
                 new_params = jax.device_put(new_params, self.param_shardings)
             self.params = new_params
 
+    def _capture_layers(self, sample: dict, hyp: dict,
+                        return_layers: bool, return_weights: bool) -> None:
+        """Attach layer outputs / attention maps for a GENERATED hypothesis
+        (reference gathers them inside the beam loop with beam reordering,
+        decoding.py:1569-1594).  Here the selected hypothesis is re-run
+        teacher-forced in one full forward: the model is deterministic, so
+        this reproduces exactly the activations the decode loop computed for
+        the winning beam (same equivalence the decode==full-forward parity
+        tests assert), at the cost of one extra forward."""
+        import jax.numpy as jnp
+        model = self._make_model()
+        prompt = [int(t) for t in sample["decoder_input"]]
+        gen = hyp["tokens"]
+        dec_in = np.asarray(prompt + gen[:-1], np.int32)[None]
+        kwargs = {"decoder_input": jnp.asarray(dec_in),
+                  "return_layers": return_layers,
+                  "return_weights": return_weights}
+        if "encoder_input" in sample:
+            kwargs["src_tokens"] = jnp.asarray(
+                np.asarray(sample["encoder_input"])[None])
+        out = model.apply({"params": self.params}, **kwargs)
+        P = len(prompt)
+
+        def trim(key, x):
+            """Keep the rows that produced the generated tokens (P-1..):
+            attention maps are (1, H, T, S) — queries on dim 2; layer
+            outputs are (1, T, D) — time on dim 1."""
+            if x is None:
+                return None
+            x = np.asarray(x)
+            if key in ("self_attn", "cross_attn") and x.ndim == 4:
+                return x[:, :, P - 1:]
+            if key == "layers" and x.ndim == 3:
+                return x[:, P - 1:]
+            return x
+
+        for key in ("layers", "self_attn", "cross_attn"):
+            if key in out and out[key]:
+                hyp[key] = [trim(key, x) for x in out[key]]
+
     def decode(self, *inputs, return_scores: bool = False, nbest: int = 1,
-               meta: Optional[dict] = None, **opts) -> Any:
+               meta: Optional[dict] = None, return_layers: bool = False,
+               return_weights: bool = False, **opts) -> Any:
         """Decode raw text inputs; returns str (single input) or list[str],
-        or hypothesis dicts with return_scores (decoding.py:468-620)."""
+        or hypothesis dicts with return_scores (decoding.py:468-620).
+        return_layers/return_weights attach per-layer outputs and attention
+        maps for the generated hypotheses (the README heatmap workflow)."""
         self.start_model()
         single = len(inputs) == 1 and isinstance(inputs[0], str)
         flat_inputs = list(inputs[0]) if (len(inputs) == 1 and
@@ -386,12 +429,16 @@ class TextGenerator:
                         "positional_scores":
                             result["positional_scores"][row, k][:n].tolist(),
                     })
+                if return_layers or return_weights:
+                    for hyp in hyps:
+                        self._capture_layers(sample, hyp, return_layers,
+                                             return_weights)
                 hypotheses[sample["index"]] = hyps
         elapsed = time.time() - wall
         total_tokens = sum(len(h[0]["tokens"]) for h in hypotheses if h)
         self.metrics.update("wps", total_tokens / max(elapsed, 1e-6))
 
-        if return_scores or nbest > 1:
+        if return_scores or nbest > 1 or return_layers or return_weights:
             out = hypotheses
         else:
             out = [h[0]["detok"] for h in hypotheses]
