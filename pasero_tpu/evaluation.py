@@ -43,8 +43,18 @@ def score(metric: str, hypotheses: list, references: list,
         return sacrebleu.corpus_bleu(hypotheses, [references],
                                      tokenize=tok).score
     if metric == "spbleu":
-        return sacrebleu.corpus_bleu(hypotheses, [references],
-                                     tokenize="flores200").score
+        # flores200 tokenization needs the sentencepiece package + the
+        # downloaded flores200 SPM model; when either is missing (as on the
+        # TPU image), degrade to BLEU-intl with a loud warning instead of
+        # silently dropping the metric (the NLLB baseline tables are written
+        # in spBLEU, examples/NLLB-200/README.md)
+        try:
+            return sacrebleu.corpus_bleu(hypotheses, [references],
+                                         tokenize="flores200").score
+        except Exception as e:
+            _warn_spbleu_fallback(e)
+            return sacrebleu.corpus_bleu(hypotheses, [references],
+                                         tokenize="intl").score
     if metric == "chrf":
         return sacrebleu.corpus_chrf(hypotheses, [references]).score
     if metric == "chrf++":
@@ -70,6 +80,20 @@ def safe_score(metric: str, hypotheses: list, references: list,
     except Exception as e:  # scoring must never kill a decoding run
         logger.warning(f"failed to compute {metric}: {e}")
         return None
+
+
+_SPBLEU_WARNED = False
+
+
+def _warn_spbleu_fallback(error: Exception) -> None:
+    global _SPBLEU_WARNED
+    if not _SPBLEU_WARNED:
+        _SPBLEU_WARNED = True
+        logger.warning(
+            "spBLEU (flores200 SPM tokenization) is unavailable "
+            f"({type(error).__name__}); falling back to BLEU with the 'intl' "
+            "tokenizer — these scores are NOT comparable to published spBLEU "
+            "numbers. Install sentencepiece to restore true spBLEU.")
 
 
 def word_error_rate(hypotheses: Iterable[str], references: Iterable[str]) -> float:
