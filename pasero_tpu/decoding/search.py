@@ -242,12 +242,16 @@ def _gather_beams(tree, beam_indices, B, K):
     - cross-attention caches are beam-INVARIANT (every beam of a sentence
       holds the same encoder K/V), so permuting within a sentence's block is
       a no-op — skip them entirely (half the cache bytes);
-    - the self-attention K/V reorder is expressed as a per-sentence (K, K)
-      one-hot matmul instead of a row gather: the permutation streams through
-      the MXU at full HBM bandwidth instead of the scatter/gather unit.
+    - the self-attention K/V reorder is one flat (B*K, B*K) one-hot matmul
+      over ALL rows: the permutation streams through the MXU at full HBM
+      bandwidth instead of the scatter/gather unit.  Flat, not per-sentence
+      (B, K, K) batched: K=5 would pad to the 128x128 MXU tile on BOTH
+      matmul dims (~650x wasted FLOPs — measured 2x slower end-to-end);
+      B*K rows pad to the next 128 multiple only once.
     """
+    import os
+    method = os.environ.get("PASERO_BEAM_GATHER", "onehot")
     flat_idx = (jnp.arange(B)[:, None] * K + beam_indices).reshape(-1)
-    onehot = jax.nn.one_hot(beam_indices, K)                 # (B, Knew, Kold)
 
     def gather(path, x):
         # scalar bookkeeping entries (cache_index, cross_filled) are shared
@@ -255,10 +259,10 @@ def _gather_beams(tree, beam_indices, B, K):
             return x
         if "cross_attn" in jax.tree_util.keystr(path):
             return x
-        if x.ndim >= 2 and jnp.issubdtype(x.dtype, jnp.floating):
-            xb = x.reshape(B, K, -1)
-            out = jnp.einsum("bnk,bkr->bnr", onehot.astype(x.dtype), xb,
-                             preferred_element_type=x.dtype)
+        if method == "onehot" and x.ndim >= 2 and \
+                jnp.issubdtype(x.dtype, jnp.floating):
+            onehot = jax.nn.one_hot(flat_idx, B * K, dtype=x.dtype)
+            out = onehot @ x.reshape(B * K, -1)
             return out.reshape(x.shape)
         return jnp.take(x, flat_idx, axis=0)
 
@@ -286,15 +290,16 @@ def beam_search(
     # no-reorder beam attention (attention.lineage_attention): instead of
     # permuting the self-attention KV cache at every step, track each logical
     # beam's physical cache row per slot and resolve the lineage inside
-    # attention — the cache permute was the dominant HBM traffic of beam
-    # decode (2.3x measured headroom, PERFORMANCE.md).  Models whose
-    # decode_step has no beam_lineage parameter (LSTM hybrid) use the
-    # permute path.
-    import inspect
-    use_lineage = (K > 1 and "beam_lineage" in inspect.signature(
-        type(model).decode_step).parameters)
-    if lineage is not None:
-        use_lineage = use_lineage and lineage
+    # attention.  Measured on a v5e chip (scripts/bench_decode.py,
+    # transformer-base B=64 beam-5): the permute's cost scales with the
+    # cache length while lineage attention's is nearly flat (~11 ms/call at
+    # this size), so short caches favor the permute and long caches favor
+    # lineage.  lineage=None picks by cache length; requires a decoder with
+    # the beam_lineage hook (the LSTM hybrid's has none).
+    if lineage is None:
+        lineage = (P + max_new) > 192
+    use_lineage = (lineage and K > 1
+                   and getattr(model, "supports_beam_lineage", False))
 
     # expand to B*K rows
     def expand(x):

@@ -67,6 +67,13 @@ def lineage_attention(q, k_cache, v_cache, lineage, mask=None, bias=None,
     with a one-hot einsum, eliminating the (B·K, H, S, D) cache
     permute read+write entirely.
 
+    The selection is folded into the attention mask: slot (p, l) of the
+    combined (P*L)-long key axis is attendable by logical beam k iff
+    ``lineage[b, k, l] == p`` (and the kv mask allows l), so one masked
+    softmax over P*L replaces explicit per-slot selection — no gathers, no
+    selection einsums, no permuted intermediates; everything XLA sees is a
+    standard attention pattern it can fuse.
+
     q: (B*K, H, 1, D); k_cache/v_cache: (B*K, H, L, D);
     lineage: (B, K, L) int32; mask: bool (B*K, 1, 1, L);
     bias: float (B*K, H|1, 1, L).  Returns (B*K, H, 1, D).
@@ -76,18 +83,21 @@ def lineage_attention(q, k_cache, v_cache, lineage, mask=None, bias=None,
     qb = q.reshape(B, K, H, D)
     kb = k_cache.reshape(B, K, H, L, D)
     vb = v_cache.reshape(B, K, H, L, D)
-    # scores against every physical row p: (B, K_logical, P_physical, H, L)
-    scores = jnp.einsum("bkhd,bphld->bkphl", qb, kb,
+    # scores against every physical row p: (B, K_logical, H, P_physical, L)
+    scores = jnp.einsum("bkhd,bphld->bkhpl", qb, kb,
                         preferred_element_type=jnp.float32) * scale
-    sel = jax.nn.one_hot(lineage, K, dtype=jnp.float32)      # (B, K, L, P)
-    scores = jnp.einsum("bkphl,bklp->bkhl", scores, sel)
     if bias is not None:
-        scores = scores + bias.reshape(B, K, bias.shape[1], L).astype(jnp.float32)
+        # bias depends only on the slot l, not the physical row
+        scores = scores + bias.reshape(
+            B, K, bias.shape[1], 1, L).astype(jnp.float32)
+    # (B, K, 1, P, L) True where physical row p holds beam k's slot l
+    sel = lineage[:, :, None, None, :] == jnp.arange(K)[None, None, None, :, None]
     if mask is not None:
-        scores = jnp.where(mask.reshape(B, K, 1, L), scores, NEG_INF)
-    weights = jax.nn.softmax(scores, axis=-1)                # (B, K, H, L)
-    wsel = jnp.einsum("bkhl,bklp->bkphl", weights, sel)
-    out = jnp.einsum("bkphl,bphld->bkhd", wsel.astype(vb.dtype), vb)
+        sel = sel & mask.reshape(B, K, 1, 1, L)
+    scores = jnp.where(sel, scores, NEG_INF)
+    weights = jax.nn.softmax(scores.reshape(B, K, H, K * L), axis=-1)
+    weights = weights.reshape(B, K, H, K, L)
+    out = jnp.einsum("bkhpl,bphld->bkhd", weights.astype(vb.dtype), vb)
     return out.reshape(B * K, H, 1, D)
 
 

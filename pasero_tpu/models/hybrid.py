@@ -230,6 +230,8 @@ from ..config.models import AdapterHybridTransformerConfig
 class HybridTransformer(Transformer):
     """Transformer encoder + LSTM decoder, same outer API as Transformer."""
 
+    supports_beam_lineage = False  # the LSTM decoder has no KV-cache lineage
+
     def setup(self):
         cfg = self.cfg
         tgt_vocab = self.tgt_vocab_size or self.src_vocab_size

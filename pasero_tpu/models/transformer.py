@@ -489,6 +489,10 @@ class Transformer(nn.Module):
       prompt_mask (B, T) True at prompt positions (loss scaled by prompt_loss).
     """
 
+    # decode_step accepts beam_lineage (no-reorder beam attention); subclasses
+    # with non-transformer decoders (LSTM hybrid) override this to False
+    supports_beam_lineage = True
+
     cfg: TransformerConfig
     src_vocab_size: int
     tgt_vocab_size: Optional[int] = None
@@ -535,11 +539,13 @@ class Transformer(nn.Module):
 
         beam_lineage (B0, K, cache_len): enables no-reorder beam attention —
         see attention.lineage_attention."""
+        extra = {"beam_lineage": beam_lineage} if beam_lineage is not None \
+            else {}  # decoders without the hook (LSTM) reject the kwarg
         return self.decoder(tokens, encoder_out=encoder_out,
                             encoder_mask=encoder_mask, positions=positions,
                             tgt_mask=tgt_mask, decode=True,
                             self_kv_mask=self_kv_mask, deterministic=True,
-                            adapter_ids=adapter_ids, beam_lineage=beam_lineage)
+                            adapter_ids=adapter_ids, **extra)
 
     def __call__(self, src_tokens=None, src_mask=None, decoder_input=None,
                  targets=None, prompt_mask=None, deterministic=True,

@@ -15,6 +15,16 @@ score matrix in HBM, with
 Shapes: q (B, H, Sq, D), k/v (B, Hkv, Sk, D). The public wrapper pads D to a
 multiple of 128 (lane width) and sequence lengths to the block size; padded
 key slots are masked via kv_mask, padded query rows are sliced off.
+
+Two kernel families, selected by the K/V VMEM footprint:
+- resident: K/V staged whole in VMEM per (batch*head) program with an
+  in-kernel fori_loop over key blocks (fastest up to ~16k tokens);
+- streaming: K/V (and the bias) blocked through a third grid axis with the
+  online-softmax state in VMEM scratch — unbounded sequence length,
+  double-buffered HBM streaming (validated fwd+bwd at 32k on a v5e chip).
+Remaining cap: the *bias gradient* kernel stages (block_q, Sk) strips, so
+learned-bias (T5) training beyond ~64k should shard the sequence instead
+(--cp-size ring attention).
 """
 
 from __future__ import annotations
@@ -33,14 +43,28 @@ BLOCK_Q = 128
 BLOCK_K = 128
 
 
+def _env_int(name: str):
+    import os
+    v = os.environ.get(name)
+    return int(v) if v else None
+
+
 def _pick_blocks(Sq: int, Sk: int, D: int):
-    """Larger K blocks amortize loop overhead and give MXU-friendly
-    (BQ x D) @ (D x BK) shapes; cap VMEM at ~4MB of fp32 scores."""
-    bq = min(256, max(BLOCK_Q, 128))
-    bk = 128
-    while bk < min(Sk, 2048) and bq * (bk * 2) * 4 <= 4 * 1024 * 1024:
-        bk *= 2
-    return bq, min(bk, 2048)
+    """256x256 blocks won the on-chip sweep (scripts/bench_flash.py, v5e:
+    at S=2048 fwd+bwd they beat both the old grow-bk-to-2048 heuristic by
+    1.8x and XLA's fused softmax; at S=1024 they tie XLA) — large-enough
+    MXU tiles without starving the double-buffer pipeline of VMEM.
+    PASERO_FLASH_BQ/BK override for sweeps."""
+    bq = _env_int("PASERO_FLASH_BQ") or 256
+    bk = _env_int("PASERO_FLASH_BK") or 256
+    return min(bq, max(Sq, 8)), min(bk, max(Sk, 8))
+
+
+def _pick_bwd_blocks(Sq: int, Sk: int, D: int):
+    """Backward block sizes (PASERO_FLASH_BWD_BQ/BK override)."""
+    bq = _env_int("PASERO_FLASH_BWD_BQ") or 256
+    bk = _env_int("PASERO_FLASH_BWD_BK") or 256
+    return min(bq, max(Sq, 8)), min(bk, max(Sk, 8))
 
 # set True to force the Pallas interpreter; on non-TPU backends (CPU tests,
 # debug runs) the interpreter is used automatically
@@ -116,6 +140,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, out_ref, lse_ref, *,
 def _fwd(q, k, v, kv_mask, bias, scale, causal, window):
     B, H, Sq, D = q.shape
     Hkv, Sk = k.shape[1], k.shape[2]
+    if _use_streaming(Sk, D, k.dtype):
+        return _fwd_stream(q, k, v, kv_mask, bias, scale, causal, window)
     group = H // Hkv
     block_q, block_k = _pick_blocks(Sq, Sk, D)
     num_k_blocks = Sk // block_k
@@ -172,6 +198,355 @@ def _fwd(q, k, v, kv_mask, bias, scale, causal, window):
         ),
     )(*args)
     return out.reshape(B, H, Sq, D), lse.reshape(B, H, Sq)
+
+
+# ---------------------------------------------------------------------------
+# streaming variants: K/V blocked through the grid (double-buffered from HBM)
+# instead of staged whole in VMEM — lifts the resident kernels' ~16-32k
+# sequence cap and blocks the bias to (block_q, block_k) tiles instead of a
+# full-width strip.  Selected when the K/V VMEM footprint exceeds
+# _STREAM_LIMIT bytes (PASERO_FLASH_STREAM_LIMIT overrides; 0 forces
+# streaming, for tests).
+# ---------------------------------------------------------------------------
+
+_STREAM_LIMIT = 8 * 1024 * 1024
+
+
+def _use_streaming(Sk: int, D: int, dtype) -> bool:
+    limit = _env_int("PASERO_FLASH_STREAM_LIMIT")
+    if limit is None:
+        limit = _STREAM_LIMIT
+    return 2 * Sk * D * jnp.dtype(dtype).itemsize > limit
+
+
+def _fwd_stream_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, out_ref,
+                       lse_ref, m_scr, l_scr, acc_scr, *,
+                       scale, causal, window, num_k_blocks, block_q, block_k):
+    """One (batch*head, q-block, k-block) program; the online-softmax state
+    lives in VMEM scratch across the innermost (k-block) grid axis."""
+    qb = pl.program_id(1)
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    # causal: key blocks strictly after this q block contribute nothing
+    live = True
+    if causal:
+        live = kb * block_k <= (qb + 1) * block_q - 1
+    if window is not None:
+        live = live & ((kb + 1) * block_k - 1 > qb * block_q - window)
+
+    @pl.when(live if not isinstance(live, bool) else True)
+    def _update():
+        q = q_ref[0].astype(jnp.float32) * scale
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if bias_ref is not None:
+            s = s + bias_ref[0].astype(jnp.float32)
+        q_pos = qb * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+        k_pos = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        ok = jnp.broadcast_to((mask_ref[0, 0] > 0)[None, :], s.shape)
+        if causal:
+            ok &= k_pos <= q_pos
+        if window is not None:
+            ok &= (q_pos - k_pos) < window
+        s = jnp.where(ok, s, NEG_INF)
+
+        m_prev = m_scr[...]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        m_scr[...] = m_new
+        l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(kb == num_k_blocks - 1)
+    def _finalize():
+        l_safe = jnp.where(l_scr[...] == 0, 1.0, l_scr[...])
+        out_ref[0] = (acc_scr[...] / l_safe).astype(out_ref.dtype)
+        lse_ref[0, 0] = (m_scr[...] + jnp.log(l_safe))[:, 0]
+
+
+def _fwd_stream(q, k, v, kv_mask, bias, scale, causal, window):
+    B, H, Sq, D = q.shape
+    Hkv, Sk = k.shape[1], k.shape[2]
+    group = H // Hkv
+    block_q, block_k = _pick_blocks(Sq, Sk, D)
+    num_k_blocks = Sk // block_k
+    grid = (B * H, Sq // block_q, num_k_blocks)
+    common = dict(memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((1, block_q, D), lambda bh, qb, kb: (bh, qb, 0), **common),
+        pl.BlockSpec((1, block_k, D), lambda bh, qb, kb: (bh // group, kb, 0),
+                     **common),
+        pl.BlockSpec((1, block_k, D), lambda bh, qb, kb: (bh // group, kb, 0),
+                     **common),
+        pl.BlockSpec((1, 1, block_k), lambda bh, qb, kb: (bh, 0, kb), **common),
+    ]
+    args = [
+        q.reshape(B * H, Sq, D),
+        k.reshape(B * Hkv, Sk, D),
+        v.reshape(B * Hkv, Sk, D),
+        jnp.broadcast_to(kv_mask[:, None, :], (B, H, Sk)
+                         ).reshape(B * H, 1, Sk).astype(jnp.int32),
+    ]
+    kw = dict(scale=scale, causal=causal, window=window,
+              num_k_blocks=num_k_blocks, block_q=block_q, block_k=block_k)
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((1, block_q, block_k),
+                                     lambda bh, qb, kb: (bh, qb, kb), **common))
+        args.append(jnp.broadcast_to(bias, (B, H, Sq, Sk))
+                    .reshape(B * H, Sq, Sk))
+        kernel = functools.partial(_fwd_stream_kernel, **kw)
+    else:
+        def kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, lse_ref,
+                   m_scr, l_scr, acc_scr):
+            return _fwd_stream_kernel(q_ref, k_ref, v_ref, mask_ref, None,
+                                      out_ref, lse_ref, m_scr, l_scr, acc_scr,
+                                      **kw)
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        interpret=_interpret(),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, block_q, D), lambda bh, qb, kb: (bh, qb, 0),
+                         **common),
+            pl.BlockSpec((1, 1, block_q), lambda bh, qb, kb: (bh, 0, qb),
+                         **common),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * H, Sq, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, 1, Sq), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+        ],
+    )(*args)
+    return out.reshape(B, H, Sq, D), lse.reshape(B, H, Sq)
+
+
+def _bwd_dq_stream_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, do_ref,
+                          lse_ref, delta_ref, dq_ref, dq_scr, *,
+                          scale, causal, window, num_k_blocks,
+                          block_q, block_k):
+    qb = pl.program_id(1)
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    live = True
+    if causal:
+        live = kb * block_k <= (qb + 1) * block_q - 1
+
+    @pl.when(live if not isinstance(live, bool) else True)
+    def _update():
+        q = q_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, None]
+        delta = delta_ref[0, 0][:, None]
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if bias_ref is not None:
+            s = s + bias_ref[0].astype(jnp.float32)
+        q_pos = qb * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+        k_pos = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        ok = jnp.broadcast_to((mask_ref[0, 0] > 0)[None, :], s.shape)
+        if causal:
+            ok &= k_pos <= q_pos
+        if window is not None:
+            ok &= (q_pos - k_pos) < window
+        s = jnp.where(ok, s, NEG_INF)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dq_scr[...] += jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                           preferred_element_type=jnp.float32)
+
+    @pl.when(kb == num_k_blocks - 1)
+    def _finalize():
+        dq_ref[0] = (dq_scr[...] * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_stream_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, do_ref,
+                           lse_ref, delta_ref, dk_ref, dv_ref,
+                           dk_scr, dv_scr, *, scale, causal, window,
+                           num_q_blocks, block_q, block_k):
+    kb = pl.program_id(1)
+    qb = pl.program_id(2)
+
+    @pl.when(qb == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    live = True
+    if causal:
+        live = (qb + 1) * block_q - 1 >= kb * block_k
+
+    @pl.when(live if not isinstance(live, bool) else True)
+    def _update():
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        q = q_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, None]
+        delta = delta_ref[0, 0][:, None]
+        s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if bias_ref is not None:
+            s = s + bias_ref[0].astype(jnp.float32)
+        q_pos = qb * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+        k_pos = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        ok = jnp.broadcast_to((mask_ref[0, 0] > 0)[None, :], s.shape)
+        if causal:
+            ok &= k_pos <= q_pos
+        if window is not None:
+            ok &= (q_pos - k_pos) < window
+        s = jnp.where(ok, s, NEG_INF)
+        p = jnp.exp(s - lse)
+        dv_scr[...] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                           preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk_scr[...] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                           preferred_element_type=jnp.float32)
+
+    @pl.when(qb == num_q_blocks - 1)
+    def _finalize():
+        dk_ref[0] = (dk_scr[...] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _bwd_stream(scale, causal, window, q, k, v, kv_mask, bias, do, lse, delta):
+    """dq/dk/dv with K/V/Q blocked through the grid (long sequences)."""
+    B, H, Sq, D = q.shape
+    Hkv, Sk = k.shape[1], k.shape[2]
+    group = H // Hkv
+    BQ, BK = _pick_bwd_blocks(Sq, Sk, D)
+    while Sq % BQ:
+        BQ //= 2
+    while Sk % BK:
+        BK //= 2
+    common = dict(memory_space=pltpu.VMEM)
+
+    mask_bh = jnp.broadcast_to(kv_mask[:, None, :], (B, H, Sk)
+                               ).reshape(B * H, 1, Sk).astype(jnp.int32)
+    q_r = q.reshape(B * H, Sq, D)
+    k_r = k.reshape(B * Hkv, Sk, D)
+    v_r = v.reshape(B * Hkv, Sk, D)
+    do_r = do.reshape(B * H, Sq, D)
+    lse_r = lse.reshape(B * H, 1, Sq)
+    delta_r = delta.reshape(B * H, 1, Sq)
+    bias_r = (jnp.broadcast_to(bias, (B, H, Sq, Sk)).reshape(B * H, Sq, Sk)
+              if bias is not None else None)
+
+    # -- dq: grid (bh, q-block, k-block) -------------------------------------
+    kw = dict(scale=scale, causal=causal, window=window,
+              num_k_blocks=Sk // BK, block_q=BQ, block_k=BK)
+    dq_specs = [
+        pl.BlockSpec((1, BQ, D), lambda bh, qb, kb: (bh, qb, 0), **common),
+        pl.BlockSpec((1, BK, D), lambda bh, qb, kb: (bh // group, kb, 0),
+                     **common),
+        pl.BlockSpec((1, BK, D), lambda bh, qb, kb: (bh // group, kb, 0),
+                     **common),
+        pl.BlockSpec((1, 1, BK), lambda bh, qb, kb: (bh, 0, kb), **common),
+    ]
+    dq_args = [q_r, k_r, v_r, mask_bh]
+    if bias_r is not None:
+        dq_specs.append(pl.BlockSpec((1, BQ, BK),
+                                     lambda bh, qb, kb: (bh, qb, kb), **common))
+        dq_args.append(bias_r)
+        dq_kernel = functools.partial(_bwd_dq_stream_kernel, **kw)
+    else:
+        def dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
+                      delta_ref, dq_ref, dq_scr):
+            return _bwd_dq_stream_kernel(q_ref, k_ref, v_ref, mask_ref, None,
+                                         do_ref, lse_ref, delta_ref, dq_ref,
+                                         dq_scr, **kw)
+    dq_specs += [
+        pl.BlockSpec((1, BQ, D), lambda bh, qb, kb: (bh, qb, 0), **common),
+        pl.BlockSpec((1, 1, BQ), lambda bh, qb, kb: (bh, 0, qb), **common),
+        pl.BlockSpec((1, 1, BQ), lambda bh, qb, kb: (bh, 0, qb), **common),
+    ]
+    dq_args += [do_r, lse_r, delta_r]
+    dq = pl.pallas_call(
+        dq_kernel, grid=(B * H, Sq // BQ, Sk // BK), in_specs=dq_specs,
+        interpret=_interpret(),
+        out_specs=pl.BlockSpec((1, BQ, D), lambda bh, qb, kb: (bh, qb, 0),
+                               **common),
+        out_shape=jax.ShapeDtypeStruct((B * H, Sq, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((BQ, D), jnp.float32)],
+    )(*dq_args)
+
+    # -- dk/dv: grid (bh, k-block, q-block) ----------------------------------
+    kw2 = dict(scale=scale, causal=causal, window=window,
+               num_q_blocks=Sq // BQ, block_q=BQ, block_k=BK)
+    dkv_specs = [
+        pl.BlockSpec((1, BQ, D), lambda bh, kb, qb: (bh, qb, 0), **common),
+        pl.BlockSpec((1, BK, D), lambda bh, kb, qb: (bh // group, kb, 0),
+                     **common),
+        pl.BlockSpec((1, BK, D), lambda bh, kb, qb: (bh // group, kb, 0),
+                     **common),
+        pl.BlockSpec((1, 1, BK), lambda bh, kb, qb: (bh, 0, kb), **common),
+    ]
+    dkv_args = [q_r, k_r, v_r, mask_bh]
+    if bias_r is not None:
+        dkv_specs.append(pl.BlockSpec((1, BQ, BK),
+                                      lambda bh, kb, qb: (bh, qb, kb),
+                                      **common))
+        dkv_args.append(bias_r)
+        dkv_kernel = functools.partial(_bwd_dkv_stream_kernel, **kw2)
+    else:
+        def dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
+                       delta_ref, dk_ref, dv_ref, dk_scr, dv_scr):
+            return _bwd_dkv_stream_kernel(q_ref, k_ref, v_ref, mask_ref, None,
+                                          do_ref, lse_ref, delta_ref, dk_ref,
+                                          dv_ref, dk_scr, dv_scr, **kw2)
+    dkv_specs += [
+        pl.BlockSpec((1, BQ, D), lambda bh, kb, qb: (bh, qb, 0), **common),
+        pl.BlockSpec((1, 1, BQ), lambda bh, kb, qb: (bh, 0, qb), **common),
+        pl.BlockSpec((1, 1, BQ), lambda bh, kb, qb: (bh, 0, qb), **common),
+    ]
+    dkv_args += [do_r, lse_r, delta_r]
+    dk, dv = pl.pallas_call(
+        dkv_kernel, grid=(B * H, Sk // BK, Sq // BQ), in_specs=dkv_specs,
+        interpret=_interpret(),
+        out_specs=(
+            pl.BlockSpec((1, BK, D), lambda bh, kb, qb: (bh, kb, 0), **common),
+            pl.BlockSpec((1, BK, D), lambda bh, kb, qb: (bh, kb, 0), **common),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * H, Sk, D), k.dtype),
+            jax.ShapeDtypeStruct((B * H, Sk, D), v.dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((BK, D), jnp.float32),
+                        pltpu.VMEM((BK, D), jnp.float32)],
+    )(*dkv_args)
+    return dq, dk, dv
 
 
 # ---------------------------------------------------------------------------
@@ -370,7 +745,34 @@ def _bwd(scale, causal, window, residuals, g):
     B, H, Sq, D = q.shape
     Hkv, Sk = k.shape[1], k.shape[2]
     group = H // Hkv
+    BQ, BK = _pick_bwd_blocks(Sq, Sk, D)
+    while Sq % BQ:
+        BQ //= 2
+    while Sk % BK:
+        BK //= 2
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+
+    if _use_streaming(Sk, D, k.dtype):
+        dq_s, dk_s, dv_s = _bwd_stream(scale, causal, window, q, k, v,
+                                       kv_mask, bias, do,
+                                       lse.reshape(B, H, Sq), delta)
+        dk_s = dk_s.reshape(B, H, Sk, D)
+        dv_s = dv_s.reshape(B, H, Sk, D)
+        if group > 1:
+            dk_s = dk_s.reshape(B, Hkv, group, Sk, D).sum(axis=2)
+            dv_s = dv_s.reshape(B, Hkv, group, Sk, D).sum(axis=2)
+        dbias_s = None
+        if bias is not None:
+            mask_bh_s = jnp.broadcast_to(kv_mask[:, None, :], (B, H, Sk)
+                                         ).reshape(B * H, 1, Sk).astype(jnp.int32)
+            dbias_s = _compute_dbias(
+                bias, q.reshape(B * H, Sq, D), k.reshape(B * Hkv, Sk, D),
+                v.reshape(B * Hkv, Sk, D), mask_bh_s,
+                jnp.broadcast_to(bias, (B, H, Sq, Sk)).reshape(B * H, Sq, Sk),
+                do.reshape(B * H, Sq, D), lse.reshape(B * H, 1, Sq),
+                delta.reshape(B * H, 1, Sq), B, H, group, Sq, Sk, D,
+                scale, causal, window)
+        return dq_s.reshape(B, H, Sq, D), dk_s, dv_s, None, dbias_s
 
     mask_bh = jnp.broadcast_to(kv_mask[:, None, :], (B, H, Sk)
                                ).reshape(B * H, 1, Sk).astype(jnp.int32)
@@ -388,35 +790,35 @@ def _bwd(scale, causal, window, residuals, g):
                            **common_specs)
     # -- dq ------------------------------------------------------------------
     dq_specs = [
-        pl.BlockSpec((1, BLOCK_Q, D), lambda bh, qb: (bh, qb, 0), **common_specs),
+        pl.BlockSpec((1, BQ, D), lambda bh, qb: (bh, qb, 0), **common_specs),
         kv_spec, kv_spec,
         pl.BlockSpec((1, 1, Sk), lambda bh, qb: (bh, 0, 0), **common_specs),
     ]
     dq_args = [q_r, k_r, v_r, mask_bh]
     if bias_r is not None:
-        dq_specs.append(pl.BlockSpec((1, BLOCK_Q, Sk),
+        dq_specs.append(pl.BlockSpec((1, BQ, Sk),
                                      lambda bh, qb: (bh, qb, 0), **common_specs))
         dq_args.append(bias_r)
         dq_kernel = functools.partial(
             _bwd_dq_kernel, scale=scale, causal=causal, window=window,
-            num_k_blocks=Sk // BLOCK_K, block_k=BLOCK_K)
+            num_k_blocks=Sk // BK, block_k=BK)
     else:
         def dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
                       delta_ref, dq_ref):
             return _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, None, do_ref,
                                   lse_ref, delta_ref, dq_ref, scale=scale,
                                   causal=causal, window=window,
-                                  num_k_blocks=Sk // BLOCK_K, block_k=BLOCK_K)
+                                  num_k_blocks=Sk // BK, block_k=BK)
     dq_specs += [
-        pl.BlockSpec((1, BLOCK_Q, D), lambda bh, qb: (bh, qb, 0), **common_specs),
-        pl.BlockSpec((1, 1, BLOCK_Q), lambda bh, qb: (bh, 0, qb), **common_specs),
-        pl.BlockSpec((1, 1, BLOCK_Q), lambda bh, qb: (bh, 0, qb), **common_specs),
+        pl.BlockSpec((1, BQ, D), lambda bh, qb: (bh, qb, 0), **common_specs),
+        pl.BlockSpec((1, 1, BQ), lambda bh, qb: (bh, 0, qb), **common_specs),
+        pl.BlockSpec((1, 1, BQ), lambda bh, qb: (bh, 0, qb), **common_specs),
     ]
     dq_args += [do_r, lse_r, delta_r]
     dq = pl.pallas_call(
-        dq_kernel, grid=(B * H, Sq // BLOCK_Q), in_specs=dq_specs,
+        dq_kernel, grid=(B * H, Sq // BQ), in_specs=dq_specs,
         interpret=_interpret(),
-        out_specs=pl.BlockSpec((1, BLOCK_Q, D), lambda bh, qb: (bh, qb, 0),
+        out_specs=pl.BlockSpec((1, BQ, D), lambda bh, qb: (bh, qb, 0),
                                **common_specs),
         out_shape=jax.ShapeDtypeStruct((B * H, Sq, D), q.dtype),
     )(*dq_args)
@@ -424,27 +826,27 @@ def _bwd(scale, causal, window, residuals, g):
     # -- dk / dv (one program per (b*h, k-block), summed over groups after) --
     dkv_specs = [
         pl.BlockSpec((1, Sq, D), lambda bh, kb: (bh, 0, 0), **common_specs),
-        pl.BlockSpec((1, BLOCK_K, D), lambda bh, kb: (bh // group, kb, 0),
+        pl.BlockSpec((1, BK, D), lambda bh, kb: (bh // group, kb, 0),
                      **common_specs),
-        pl.BlockSpec((1, BLOCK_K, D), lambda bh, kb: (bh // group, kb, 0),
+        pl.BlockSpec((1, BK, D), lambda bh, kb: (bh // group, kb, 0),
                      **common_specs),
-        pl.BlockSpec((1, 1, BLOCK_K), lambda bh, kb: (bh, 0, kb), **common_specs),
+        pl.BlockSpec((1, 1, BK), lambda bh, kb: (bh, 0, kb), **common_specs),
     ]
     dkv_args = [q_r, k_r, v_r, mask_bh]
     if bias_r is not None:
-        dkv_specs.append(pl.BlockSpec((1, Sq, BLOCK_K),
+        dkv_specs.append(pl.BlockSpec((1, Sq, BK),
                                       lambda bh, kb: (bh, 0, kb), **common_specs))
         dkv_args.append(bias_r)
         dkv_kernel = functools.partial(
             _bwd_dkv_kernel, scale=scale, causal=causal, window=window,
-            num_q_blocks=Sq // BLOCK_Q, block_q=BLOCK_Q)
+            num_q_blocks=Sq // BQ, block_q=BQ)
     else:
         def dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
                        delta_ref, dk_ref, dv_ref):
             return _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, None, do_ref,
                                    lse_ref, delta_ref, dk_ref, dv_ref,
                                    scale=scale, causal=causal, window=window,
-                                   num_q_blocks=Sq // BLOCK_Q, block_q=BLOCK_Q)
+                                   num_q_blocks=Sq // BQ, block_q=BQ)
     dkv_specs += [
         pl.BlockSpec((1, Sq, D), lambda bh, kb: (bh, 0, 0), **common_specs),
         pl.BlockSpec((1, 1, Sq), lambda bh, kb: (bh, 0, 0), **common_specs),
@@ -452,12 +854,12 @@ def _bwd(scale, causal, window, residuals, g):
     ]
     dkv_args += [do_r, lse_r, delta_r]
     dk, dv = pl.pallas_call(
-        dkv_kernel, grid=(B * H, Sk // BLOCK_K), in_specs=dkv_specs,
+        dkv_kernel, grid=(B * H, Sk // BK), in_specs=dkv_specs,
         interpret=_interpret(),
         out_specs=(
-            pl.BlockSpec((1, BLOCK_K, D), lambda bh, kb: (bh, kb, 0),
+            pl.BlockSpec((1, BK, D), lambda bh, kb: (bh, kb, 0),
                          **common_specs),
-            pl.BlockSpec((1, BLOCK_K, D), lambda bh, kb: (bh, kb, 0),
+            pl.BlockSpec((1, BK, D), lambda bh, kb: (bh, kb, 0),
                          **common_specs),
         ),
         out_shape=(

@@ -23,6 +23,8 @@ def main(argv=None):
     parser.add_argument("--max-new", type=int, default=64)
     parser.add_argument("--beam", type=int, default=5)
     parser.add_argument("--src-len", type=int, default=32)
+    parser.add_argument("--prompt-len", type=int, default=1,
+                        help="forced-prompt length (scales the KV cache)")
     parser.add_argument("--vocab", type=int, default=32768)
     parser.add_argument("--arch", default="transformer")
     parser.add_argument("--repeats", type=int, default=3)
@@ -45,12 +47,13 @@ def main(argv=None):
     V = args.vocab
     pad, bos, eos = cfg.padding_idx, cfg.bos_idx, cfg.eos_idx
 
-    model = Transformer(cfg, src_vocab_size=V, self_cache_len=1 + N,
+    P = args.prompt_len
+    model = Transformer(cfg, src_vocab_size=V, self_cache_len=P + N,
                         cross_cache_len=S)
     rng = np.random.default_rng(0)
     src = jnp.asarray(rng.integers(4, V, (B, S)), jnp.int32)
-    prompt = jnp.full((B, 1), max(bos, eos), jnp.int32)
-    prompt_mask = jnp.ones((B, 1), bool)
+    prompt = jnp.full((B, P), max(bos, eos), jnp.int32)
+    prompt_mask = jnp.ones((B, P), bool)
     params = model.init(jax.random.PRNGKey(0), src_tokens=src,
                         decoder_input=prompt)["params"]
     encoder_out, encoder_mask = model.apply({"params": params}, src,

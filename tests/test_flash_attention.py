@@ -199,3 +199,38 @@ def test_model_flash_path_is_causal():
     np.testing.assert_allclose(np.asarray(logits1[:, :-1]),
                                np.asarray(logits2[:, :-1]), atol=1e-5,
                                err_msg="future token changed past logits")
+
+
+def test_streaming_matches_resident(monkeypatch):
+    """The grid-streamed kernels (K/V blocked through the grid, unbounded
+    sequence length) match the VMEM-resident kernels bit-for-bit in both
+    forward and gradients, with and without bias."""
+    import pasero_tpu.ops.flash_attention as fa
+    B, H, S, D = 2, 2, 512, 64
+    key = jax.random.PRNGKey(3)
+    q = jax.random.normal(key, (B, H, S, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(4), (B, H, S, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(5), (B, H, S, D), jnp.float32)
+    bias = jax.random.normal(jax.random.PRNGKey(6), (1, H, S, S), jnp.float32)
+
+    def run(q, k, v, bias):
+        def loss(q, k, v, bias):
+            out = fa.flash_attention(q, k, v, bias=bias, scale=D ** -0.5,
+                                     causal=True)
+            return (out.astype(jnp.float32) ** 2).mean(), out
+        (l, out), grads = jax.value_and_grad(loss, argnums=(0, 1, 2, 3),
+                                             has_aux=True)(q, k, v, bias)
+        return out, grads
+
+    monkeypatch.setenv("PASERO_FLASH_STREAM_LIMIT", str(1 << 40))
+    assert not fa._use_streaming(S, D, q.dtype)
+    out_res, grads_res = run(q, k, v, bias)
+    monkeypatch.setenv("PASERO_FLASH_STREAM_LIMIT", "0")
+    assert fa._use_streaming(S, D, q.dtype)
+    out_str, grads_str = run(q, k, v, bias)
+
+    np.testing.assert_allclose(np.asarray(out_str), np.asarray(out_res),
+                               rtol=1e-5, atol=1e-5)
+    for g_s, g_r, name in zip(grads_str, grads_res, "qkvb"):
+        np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_r),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
