@@ -191,7 +191,8 @@ def run_training(cfg):
                       tgt_vocab_size=task.decoder_num_embeddings,
                       num_encoder_adapters=len(enc_names),
                       num_decoder_adapters=len(dec_names))
-    mesh = make_mesh(cfg.dp_size, cfg.tp_size, cfg.ep_size, cfg.cp_size)
+    mesh = make_mesh(cfg.dp_size, cfg.tp_size, cfg.ep_size, cfg.cp_size,
+                     getattr(cfg, "pp_size", 1))
     trainer = Trainer(cfg, task, model, mesh, adapter_info=adapter_info)
 
     dataset_cls = DATASET_REGISTRY[cfg.dataset_type]
@@ -208,7 +209,7 @@ def run_training(cfg):
         from pasero_tpu.decoding.search import beam_search, left_align
 
         def generate(sources, valid_set):
-            params = trainer.state.params
+            params = trainer.named_params
             hypotheses = []
             samples = [task.preprocess(
                 task.input_to_sample(src, valid_set.corpus.meta

@@ -34,6 +34,15 @@ class DistributedConfig(Config):
                 "run self-attention as a ring collective over the 'seq' mesh "
                 "axis (exact attention on N x longer contexts; a capability "
                 "the reference lacks)")
+    pp_size: int = argument(
+        1, help="pipeline-parallel axis size: stack the decoder layers over "
+                "the 'stage' mesh axis and train with a GPipe microbatch "
+                "schedule (decoder-only models; composes with dp_size). The "
+                "reference's PP is inference-only layer placement; big-model "
+                "inference here uses --tp-size/--fsdp mesh decode instead")
+    pp_microbatches: Optional[int] = argument(
+        help="microbatches per step with --pp-size (default: 2 x pp_size; "
+             "more microbatches shrink the pipeline bubble)")
     fsdp: bool = argument(
         False, help="ZeRO-style sharding of parameters and optimizer state along the "
                     "data axis (GSPMD equivalent of torch FSDP)")
@@ -57,7 +66,9 @@ class DistributedConfig(Config):
 
     @property
     def distributed_world_size(self) -> int:
-        return (self.dp_size or 1) * (self.tp_size or 1) * (self.ep_size or 1)
+        return ((self.dp_size or 1) * (self.tp_size or 1)
+                * (self.ep_size or 1) * (self.cp_size or 1)
+                * (self.pp_size or 1))
 
     @property
     def compute_dtype(self):

@@ -1,0 +1,294 @@
+"""Pipeline parallelism: a `stage` mesh axis running GPipe over the decoder
+layer stack.
+
+The reference's PP is inference-only layer placement with device-to-device
+activation hops (pasero/models/transformer.py:594-607); big-model *inference*
+here is covered by mesh-sharded decode (TP/FSDP).  This module goes beyond the
+reference: pipeline-parallel TRAINING, the TPU way —
+
+- the per-layer parameter subtrees (``decoder/layers_i``) are stacked into one
+  pytree whose leaves have a leading ``(num_layers, ...)`` dim, sharded over
+  the ``stage`` mesh axis (each stage holds ``num_layers / pp_size`` layers —
+  that is the memory saving PP exists for);
+- the forward is a `shard_map` over ``stage``: every step each stage applies
+  its local layers to its current microbatch and `ppermute`s the activation to
+  the next stage (a GPipe schedule with ``M + S - 1`` ticks for M microbatches
+  and S stages);
+- the backward is NOT hand-written: `jax.grad` differentiates through
+  `shard_map`/`ppermute`/`scan`, producing the reverse pipeline automatically.
+
+Checkpoints stay topology-independent: the trainer packs/unpacks between this
+stacked layout and the named ``layers_i`` layout at load/save, so the on-disk
+format is identical with and without ``--pp-size`` (and any ``pp_size`` can
+resume any other: the stacked tree does not depend on S, only its sharding
+does).
+
+Scope (asserted in `check_pp_supported`): decoder-only transformers, no
+adapters/LoRA/MoE in the pipelined stack, ``tp/ep/cp == 1``.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger("parallel")
+
+STACK_KEY = "pp_stack"
+REST_KEY = "pp_rest"
+
+
+# ---------------------------------------------------------------------------
+# packed <-> named parameter layout
+# ---------------------------------------------------------------------------
+
+def is_packed(params) -> bool:
+    return isinstance(params, dict) and STACK_KEY in params
+
+
+def pack_pp_params(params: dict, num_layers: int) -> dict:
+    """Named layout -> ``{pp_stack: (L, ...) leaves, pp_rest: everything else}``."""
+    decoder = dict(params["decoder"])
+    layers = [decoder.pop(f"layers_{i}") for i in range(num_layers)]
+    stack = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    rest = dict(params)
+    rest["decoder"] = decoder
+    return {STACK_KEY: stack, REST_KEY: rest}
+
+
+def unpack_pp_params(packed: dict) -> dict:
+    """Stacked layout back to the named ``decoder/layers_i`` layout."""
+    if not is_packed(packed):
+        return packed
+    stack, rest = packed[STACK_KEY], packed[REST_KEY]
+    num_layers = jax.tree_util.tree_leaves(stack)[0].shape[0]
+    decoder = dict(rest["decoder"])
+    for i in range(num_layers):
+        decoder[f"layers_{i}"] = jax.tree_util.tree_map(
+            lambda x: x[i], stack)
+    out = dict(rest)
+    out["decoder"] = decoder
+    return out
+
+
+def pp_param_shardings(packed: dict, mesh: Mesh) -> dict:
+    """Stack leaves sharded over 'stage' on dim 0; the rest replicated."""
+    stage = jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, P("stage")), packed[STACK_KEY])
+    repl = jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, P()), packed[REST_KEY])
+    return {STACK_KEY: stage, REST_KEY: repl}
+
+
+def check_pp_supported(model, dist_cfg):
+    cfg = model.cfg
+    problems = []
+    if cfg.model_type != "decoder":
+        problems.append("--pp-size requires a decoder-only model "
+                        "(encoder-decoder pipelining: use --tp-size/--fsdp)")
+    if getattr(dist_cfg, "tp_size", 1) > 1 or \
+            getattr(dist_cfg, "ep_size", 1) > 1 or \
+            getattr(dist_cfg, "cp_size", 1) > 1:
+        problems.append("--pp-size composes with dp only (tp/ep/cp must be 1)")
+    if model.num_decoder_adapters or getattr(cfg, "lora_rank", 0):
+        problems.append("--pp-size does not support adapters/LoRA")
+    if getattr(cfg, "moe_num_experts", None):
+        problems.append("--pp-size does not support MoE layers")
+    if problems:
+        raise ValueError("; ".join(problems))
+
+
+# ---------------------------------------------------------------------------
+# the GPipe schedule
+# ---------------------------------------------------------------------------
+
+def gpipe(layer_fn, stacked_params, x, shared, *, mesh: Mesh,
+          num_stages: int, microbatches: int, axis: str = "stage"):
+    """Run ``x`` through the stacked layers, pipelined over ``axis``.
+
+    layer_fn(one_layer_params, x, shared_mb, fold) -> x; ``fold`` is an int32
+    scalar unique per (tick, stage) for RNG folding.
+    x: (B, T, E); shared: pytree of per-sample tensors with leading B (masks,
+    biases, positions), indexed per microbatch.  Returns (B, T, E).
+
+    Every stage computes on every tick (the bubble computes garbage that is
+    never read — the SPMD idiom: masking the compute would not make it
+    cheaper).  The activation travels the ring once per tick via ppermute;
+    grads flow back through the reversed ring automatically.
+    """
+    B = x.shape[0]
+    M = microbatches
+    S = num_stages
+    assert B % M == 0, f"batch {B} not divisible by {M} microbatches"
+    mb = B // M
+
+    def split(a):
+        return a.reshape((M, mb) + a.shape[1:])
+
+    x_mb = split(x)
+    shared_mb = jax.tree_util.tree_map(split, shared)
+    perm = [(i, (i + 1) % S) for i in range(S)]
+
+    def stage_body(local_stack, x_mb, shared_mb):
+        stage = lax.axis_index(axis)
+        layers_per_stage = jax.tree_util.tree_leaves(local_stack)[0].shape[0]
+        state = jnp.zeros_like(x_mb[0])
+        out = jnp.zeros_like(x_mb)
+
+        def tick(carry, t):
+            state, out = carry
+            mb_idx = jnp.clip(t - stage, 0, M - 1)
+            y = jnp.where(stage == 0, x_mb[mb_idx], state)
+            sh = jax.tree_util.tree_map(lambda a: a[mb_idx], shared_mb)
+            for i in range(layers_per_stage):
+                lp = jax.tree_util.tree_map(lambda a: a[i], local_stack)
+                y = layer_fn(lp, y, sh, t * S + stage)
+            # the last stage banks microbatch t-(S-1) once it is real
+            out_idx = jnp.clip(t - (S - 1), 0, M - 1)
+            valid = (stage == S - 1) & (t >= S - 1)
+            prev = lax.dynamic_index_in_dim(out, out_idx, 0, keepdims=False)
+            out = lax.dynamic_update_index_in_dim(
+                out, jnp.where(valid, y, prev), out_idx, 0)
+            state = lax.ppermute(y, axis, perm)
+            return (state, out), None
+
+        (_, out), _ = lax.scan(tick, (state, out), jnp.arange(M + S - 1))
+        # replicate the final activations from the last stage to all stages
+        out = jnp.where(stage == S - 1, out, jnp.zeros_like(out))
+        return lax.psum(out, axis)
+
+    in_specs = (
+        jax.tree_util.tree_map(lambda _: P(axis), stacked_params),
+        jax.tree_util.tree_map(lambda _: P(None, "data"), x_mb),
+        jax.tree_util.tree_map(lambda _: P(None, "data"), shared_mb),
+    )
+    out = shard_map(stage_body, mesh=mesh, in_specs=in_specs,
+                    out_specs=P(None, "data"), check_vma=False)(
+        stacked_params, x_mb, shared_mb)
+    return out.reshape((B,) + out.shape[2:])
+
+
+# ---------------------------------------------------------------------------
+# the pipelined decoder forward (prelude + gpipe + head)
+# ---------------------------------------------------------------------------
+
+def make_pp_forward(model, mesh: Mesh, num_stages: int, microbatches: int):
+    """Full-forward logits for a decoder-only Transformer with the layer
+    stack pipelined over the 'stage' mesh axis.
+
+    Reimplements the thin prelude/head around the layer loop of
+    `models/transformer.py:TransformerDecoder.__call__` (embedding, positional
+    encoding, masks, relative bias, final norm, output projection) by applying
+    the model's own submodules to the `pp_rest` subtree — parity with the
+    unpipelined forward is asserted in tests/test_pipeline_parallel.py.
+    """
+    from ..models.transformer import (TransformerDecoderLayer,
+                                      positions_from_mask)
+    from ..models.modules import Embedding, make_norm
+    from ..models.positional import PositionalEmbedding, alibi_bias, \
+        T5RelativeBias
+
+    cfg = model.cfg
+    vocab_size = model.tgt_vocab_size or model.src_vocab_size
+    dtype = model.dtype
+    kernel = model.kernel or getattr(cfg, "attention_kernel", None) or "xla"
+    layer_mod = TransformerDecoderLayer(
+        cfg, layer_id=0, has_cross_attention=False, kernel=kernel, dtype=dtype)
+    embed_mod = Embedding(vocab_size, cfg.embed_dim, dtype=dtype)
+    pe = cfg.decoder_positional_encoding
+
+    def layer_fn(lp, y, sh, fold):
+        self_mask, self_bias, positions, dropout_rng, deterministic = sh
+        rngs = None
+        if not deterministic:
+            rngs = {"dropout": jax.random.fold_in(dropout_rng, fold)}
+        return layer_mod.apply(
+            {"params": lp}, y, self_mask=self_mask, self_bias=self_bias,
+            positions=positions, deterministic=deterministic, rngs=rngs)
+
+    if getattr(cfg, "checkpoint_activations", False):
+        layer_fn = jax.checkpoint(layer_fn, static_argnums=())
+
+    def forward(packed_params, tokens, tgt_mask=None, deterministic=True,
+                dropout_rng=None):
+        rest = packed_params[REST_KEY]
+        dec = rest["decoder"]
+        if tgt_mask is None:
+            tgt_mask = tokens != cfg.padding_idx
+        positions = positions_from_mask(tgt_mask)
+
+        x = embed_mod.apply({"params": dec["embed_tokens"]}, tokens)
+        if cfg.scale_embed:
+            x = x * (cfg.embed_dim ** 0.5)
+        if pe in ("sinusoidal", "learned"):
+            x = PositionalEmbedding(
+                kind=pe, max_len=cfg.decoder_max_len, dim=cfg.embed_dim,
+                shift=cfg.positional_encoding_shift).apply(
+                {"params": dec.get("embed_positions", {})}, x, positions)
+        if cfg.decoder_embed_norm:
+            x = make_norm(cfg, dtype).apply(
+                {"params": dec["embed_norm"]}, x)
+        embed_dropout = (cfg.embed_dropout if cfg.embed_dropout is not None
+                         else cfg.dropout)
+        if not deterministic and embed_dropout:
+            # 2^31-1: outside the layer fold range (t * S + stage >= 0),
+            # and positive (rbg keys are uint32 — negative folds overflow)
+            keep = jax.random.bernoulli(
+                jax.random.fold_in(dropout_rng, 2 ** 31 - 1),
+                1.0 - embed_dropout, x.shape)
+            x = x * keep / (1.0 - embed_dropout)
+
+        self_mask = tgt_mask[:, None, None, :]
+        self_bias = None
+        if pe == "alibi":
+            self_bias = alibi_bias(cfg.decoder_attention_heads, positions,
+                                   positions, max_bias=cfg.alibi_max_bias,
+                                   causal=True)
+        elif pe == "t5":
+            self_bias = T5RelativeBias(
+                cfg.decoder_attention_heads, bidirectional=False).apply(
+                {"params": dec["t5_bias"]}, positions, positions)
+        if self_bias is not None and self_bias.shape[0] == 1:
+            self_bias = jnp.broadcast_to(
+                self_bias, (tokens.shape[0],) + self_bias.shape[1:])
+
+        if dropout_rng is None:
+            dropout_rng = jax.random.PRNGKey(0)
+        # rngs ride `shared` so each microbatch/stage folds its own key;
+        # deterministic is static (python bool), so it skips the tree
+        shared = (self_mask, self_bias, positions,
+                  jnp.broadcast_to(dropout_rng[None], (tokens.shape[0],)
+                                   + dropout_rng.shape), deterministic)
+        shared_dyn = tuple(s for s in shared[:4] if s is not None)
+
+        def layer_fn_packed(lp, y, sh, fold):
+            it = iter(sh)
+            sm = next(it)
+            sb = next(it) if self_bias is not None else None
+            pos = next(it)
+            rng = next(it)[0]
+            return layer_fn(lp, y, (sm, sb, pos, rng, deterministic), fold)
+
+        x = gpipe(layer_fn_packed, packed_params[STACK_KEY], x, shared_dyn,
+                  mesh=mesh, num_stages=num_stages, microbatches=microbatches)
+
+        if cfg.decoder_prenorm:
+            x = make_norm(cfg, dtype).apply({"params": dec["final_norm"]}, x)
+        if cfg.tied_output_projection:
+            logits = embed_mod.apply({"params": dec["embed_tokens"]}, x,
+                                     method=Embedding.attend)
+        else:
+            from ..models.modules import Linear
+            logits = Linear(vocab_size, use_bias=False, dtype=dtype).apply(
+                {"params": dec["output_projection"]}, x)
+        return logits.astype(jnp.float32)
+
+    return forward

@@ -54,6 +54,8 @@ class Corpus:
     @property
     def corpus_id(self) -> str:
         names = [os.path.basename(p) for p in self.paths if p]
+        if not names:  # stdin/interactive corpora have no file paths
+            return "stdin"
         prefix = os.path.commonprefix(names).rstrip(".")
         return prefix or names[0]
 

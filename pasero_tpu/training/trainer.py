@@ -65,6 +65,18 @@ class Trainer:
         self.metrics = metrics or Metrics(window=cfg.log_interval)
         self.rules = list(fsdp_rules() if cfg.fsdp else LOGICAL_RULES)
         self.pad_idx = model.cfg.padding_idx
+        self.pp_size = getattr(cfg, "pp_size", 1) or 1
+        if self.pp_size > 1:
+            from ..parallel import pipeline as pp
+            pp.check_pp_supported(model, cfg)
+            if cfg.fsdp:
+                raise ValueError("--pp-size does not compose with --fsdp "
+                                 "(the stage axis already shards the layers)")
+            if cfg.freeze_params_regex or cfg.train_params_regex:
+                raise ValueError(
+                    "--pp-size does not support freezing regexes")
+            self.pp_microbatches = (getattr(cfg, "pp_microbatches", None)
+                                    or 2 * self.pp_size)
         impl = getattr(cfg, "prng_impl", None)
         if impl:
             jax.config.update("jax_default_prng_impl", impl)
@@ -138,6 +150,15 @@ class Trainer:
             out_shardings=self.param_shardings)
         with self.mesh:
             self.params = init_jit(init_rng)
+        if self.pp_size > 1:
+            # stack decoder layers over the 'stage' mesh axis (GPipe layout);
+            # checkpoints stay in the named layers_i layout (save/load convert)
+            from ..parallel import pipeline as pp
+            n_layers = self.model.cfg.decoder_layers
+            with self.mesh:
+                packed = pp.pack_pp_params(self.params, n_layers)
+                self.param_shardings = pp.pp_param_shardings(packed, self.mesh)
+                self.params = jax.device_put(packed, self.param_shardings)
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(self.params))
         logger.info(f"initialized {n_params:,} parameters")
 
@@ -177,9 +198,22 @@ class Trainer:
         if path is None:
             return
         logger.info(f"loading checkpoint {path}")
-        params, *_ = checkpoints.load_params(
-            path, self.state.params, flexible=cfg.flexible,
-            reset_params_regex=cfg.reset_params_regex)
+        if self.pp_size > 1:
+            # checkpoints are stored in the named layers_i layout; convert
+            # through it so any pp_size (or none) can resume any checkpoint
+            from ..parallel import pipeline as pp
+            target = pp.unpack_pp_params(jax.device_get(self.state.params))
+            params, *_ = checkpoints.load_params(
+                path, target, flexible=cfg.flexible,
+                reset_params_regex=cfg.reset_params_regex)
+            with self.mesh:
+                params = jax.device_put(
+                    pp.pack_pp_params(params, self.model.cfg.decoder_layers),
+                    self.param_shardings)
+        else:
+            params, *_ = checkpoints.load_params(
+                path, self.state.params, flexible=cfg.flexible,
+                reset_params_regex=cfg.reset_params_regex)
         self.state = self.state.replace(params=params)
         is_latest = (os.path.basename(path) == "model_latest.npz")
         tag = "latest" if is_latest else None
@@ -215,6 +249,11 @@ class Trainer:
         label_smoothing = self.model.cfg.label_smoothing or 0.0
         batch_spec = NamedSharding(self.mesh, P("data"))
         repl = NamedSharding(self.mesh, P())
+        pp_forward = None
+        if self.pp_size > 1:
+            from ..parallel import pipeline as pp_mod
+            pp_forward = pp_mod.make_pp_forward(
+                model, self.mesh, self.pp_size, self.pp_microbatches)
 
         def loss_fn(params, batch, dropout_rng):
             targets = shift_targets(batch["decoder_input"], pad_idx)
@@ -222,11 +261,18 @@ class Trainer:
                 batch["target_mask"].astype(jnp.int32), 0).astype(bool)
             prompt_mask = shift_targets(
                 batch["prompt_mask"].astype(jnp.int32), 0).astype(bool)
-            kwargs = self._model_kwargs(batch, deterministic=False)
-            out, mutated = model.apply(
-                {"params": params}, targets=None,
-                rngs={"dropout": dropout_rng}, mutable=["losses"], **kwargs)
-            logits = out["logits"]
+            if pp_forward is not None:
+                logits = pp_forward(params, batch["decoder_input"],
+                                    deterministic=False,
+                                    dropout_rng=dropout_rng)
+                mutated = {}
+            else:
+                kwargs = self._model_kwargs(batch, deterministic=False)
+                out, mutated = model.apply(
+                    {"params": params}, targets=None,
+                    rngs={"dropout": dropout_rng}, mutable=["losses"],
+                    **kwargs)
+                logits = out["logits"]
             from ..models.transformer import cross_entropy_loss
             weights = target_mask.astype(jnp.float32)
             if prompt_loss != 1.0:
@@ -268,12 +314,17 @@ class Trainer:
             targets = shift_targets(batch["decoder_input"], pad_idx)
             target_mask = shift_targets(
                 batch["target_mask"].astype(jnp.int32), 0).astype(bool)
-            kwargs = self._model_kwargs(batch, deterministic=True)
-            out = model.apply({"params": params}, targets=None, **kwargs)
+            if pp_forward is not None:
+                logits = pp_forward(params, batch["decoder_input"],
+                                    deterministic=True)
+            else:
+                kwargs = self._model_kwargs(batch, deterministic=True)
+                out = model.apply({"params": params}, targets=None, **kwargs)
+                logits = out["logits"]
             from ..models.transformer import cross_entropy_loss
             weights = target_mask.astype(jnp.float32)
             loss_sum, nll_sum, _ = cross_entropy_loss(
-                out["logits"], targets, weights, label_smoothing)
+                logits, targets, weights, label_smoothing)
             return {"loss_sum": loss_sum, "nll_sum": nll_sum,
                     "num_tokens": jnp.sum(weights)}
 
@@ -292,8 +343,31 @@ class Trainer:
     def step(self) -> int:
         return int(self.state.step)
 
+    @property
+    def named_params(self):
+        """Current parameters in the named (checkpoint) layout — with
+        --pp-size the train state holds the stage-stacked layout instead."""
+        if self.pp_size > 1:
+            from ..parallel import pipeline as pp
+            return pp.unpack_pp_params(jax.device_get(self.state.params))
+        return self.state.params
+
     def _device_batch(self, batch: dict) -> dict:
         spec = NamedSharding(self.mesh, P("data"))
+        if self.pp_size > 1:
+            # rows must split into pp_microbatches x data shards; the extra
+            # all-pad rows carry zero loss weight (target_mask False)
+            mult = self.pp_microbatches * self.mesh.shape["data"]
+            B = batch["decoder_input"].shape[0]
+            if B % mult:
+                extra = mult - B % mult
+                batch = dict(batch)
+                for k in ("decoder_input", "target_mask", "prompt_mask"):
+                    v = batch[k]
+                    pad_block = np.full((extra,) + v.shape[1:],
+                                        self.pad_idx if k == "decoder_input"
+                                        else 0, v.dtype)
+                    batch[k] = np.concatenate([np.asarray(v), pad_block], 0)
         out = {}
         for k in ("decoder_input", "target_mask", "prompt_mask",
                   "src_tokens", "src_mask"):
@@ -393,6 +467,9 @@ class Trainer:
         opt_flat = checkpoints.flatten_tree(
             jax.device_get(self.state.opt_state))
         params_host = jax.device_get(self.state.params)
+        if self.pp_size > 1:  # on-disk format is the named layers_i layout
+            from ..parallel import pipeline as pp
+            params_host = pp.unpack_pp_params(params_host)
 
         def write():
             return checkpoints.save_checkpoint(

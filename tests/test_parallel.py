@@ -62,12 +62,16 @@ def run_one_step(mesh_kwargs, tmp):
 
 def test_mesh_factorizations():
     assert make_mesh(8, 1, 1).shape == {"data": 8, "expert": 1, "model": 1,
-                                        "seq": 1}
+                                        "seq": 1, "stage": 1}
     assert make_mesh(2, 2, 2).shape == {"data": 2, "expert": 2, "model": 2,
-                                        "seq": 1}
+                                        "seq": 1, "stage": 1}
     assert make_mesh(None, 4, 1).shape["data"] == 2
     assert make_mesh(None, 2, 1, 2).shape == {"data": 2, "expert": 1,
-                                              "model": 2, "seq": 2}
+                                              "model": 2, "seq": 2,
+                                              "stage": 1}
+    assert make_mesh(None, 1, 1, 1, 4).shape == {"data": 2, "expert": 1,
+                                                 "model": 1, "seq": 1,
+                                                 "stage": 4}
     with pytest.raises(AssertionError):
         make_mesh(3, 3, 1)
 
