@@ -63,11 +63,20 @@ def trainable_mask(params, freeze_regex: Optional[str] = None,
     (cli/train.py:229-243). ``default_trainable`` is an optional per-path
     predicate used by architectures (adapters: train adapters only; LoRA:
     train lora_* only).
+
+    Regexes match dotted parameter names (``encoder.layers_0.self_attn.
+    q_proj.kernel``) — the reference's dotted convention, not jax's raw
+    ``['encoder']['layers_0']...`` keystr (against which a user regex like
+    ``^encoder`` would silently never match).
     """
     flat = jax.tree_util.tree_leaves_with_path(params)
 
+    def dotted(path) -> str:
+        return ".".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                        for k in path)
+
     def decide(path) -> bool:
-        name = jax.tree_util.keystr(path)
+        name = dotted(path)
         if train_regex:
             return bool(re.search(train_regex, name))
         if freeze_regex:

@@ -20,7 +20,8 @@ TRAINING_YAMLS = sorted(
     + glob.glob(os.path.join(ROOT, "**", "dialogue.yaml"), recursive=True)
     + glob.glob(os.path.join(ROOT, "**", "*-ft.yaml"), recursive=True)
     + glob.glob(os.path.join(ROOT, "**", "mt-lora.yaml"), recursive=True)
-    + glob.glob(os.path.join(ROOT, "**", "lstm-decoder.yaml"), recursive=True))
+    + glob.glob(os.path.join(ROOT, "**", "lstm-decoder.yaml"), recursive=True)
+    + glob.glob(os.path.join(ROOT, "IWSLT2023", "*.yaml"), recursive=True))
 INFERENCE_YAMLS = sorted(
     glob.glob(os.path.join(ROOT, "**", "inference*.yaml"), recursive=True))
 
@@ -32,8 +33,12 @@ def test_examples_present():
     for required in ("TED", "TED-top20", "ParaCrawl", "ParaCrawl-Euro",
                      "NLLB-200", "Llama", "FLAN-T5", "Doc-level-MT",
                      "zero-shot-transfer-inst-tuning", "speech-translation",
-                     "long-context"):
+                     "long-context", "IWSLT2023", "Whisper"):
         assert required in dirs, f"missing example {required}"
+    # data-prep scripts at the examples root (reference: download-TED.sh,
+    # download-flores.sh)
+    for script in ("download-TED.sh", "download-flores.sh"):
+        assert os.path.exists(os.path.join(ROOT, script)), script
     assert TRAINING_YAMLS and INFERENCE_YAMLS
     # every example dir ships at least one YAML or a runnable script
     for d in sorted(dirs):
