@@ -58,36 +58,46 @@ class Dictionary:
 
     def __init__(self, vocab: Union[list, dict], size: Optional[int] = None):
         assert not isinstance(vocab, str), "use Dictionary.build(path)"
-        if isinstance(vocab, dict):
-            # HF-style id map; gaps in the id range become unk placeholders
-            by_id = sorted(vocab.items(), key=lambda kv: kv[1])
-            assert by_id and by_id[0][1] >= 0, "negative ids not allowed"
-            self.tokens = [unk] * (by_id[-1][1] + 1)
-            for token, idx in by_id:
-                self.tokens[idx] = token
-            self.indices = dict(vocab)
-        else:
-            entries = list(vocab)
-            if eos not in entries:  # fairseq-style: specials get ids 0-3
-                clash = sorted({sep, bos, pad, unk} & set(entries))
-                assert not clash, (
-                    f"dictionary has a partial set of special tokens {clash}: "
-                    "either none (fairseq-style) or at least '</s>' "
-                    "(custom-style)")
-                entries[:0] = [sep, pad, eos, unk]
-            self.tokens = entries
-            self.indices = {t: i for i, t in enumerate(entries)}
-
-        assert len(self.tokens) == max(self.indices.values()) + 1
+        id_of = (self._ids_from_map(vocab) if isinstance(vocab, dict)
+                 else self._ids_from_entries(vocab))
+        vocab_len = 1 + max(id_of.values())
+        token_of = [unk] * vocab_len
+        for token, idx in id_of.items():
+            token_of[idx] = token  # id-range gaps stay unk placeholders
+        self.tokens, self.indices = token_of, id_of
         if size is not None:
             self.extend(size)
+        self._resolve_special_ids()
 
-        lookup = self.indices.get
-        self.eos_idx = lookup(eos)
-        self.padding_idx = lookup(pad, lookup(unk))
-        self.bos_idx = lookup(bos, self.eos_idx)
-        self.unk_idx = lookup(unk, self.padding_idx)
-        self.sep_idx = lookup(sep, self.bos_idx)
+    @staticmethod
+    def _ids_from_map(vocab: dict) -> dict:
+        """HF-style token->id JSON map, taken as-is."""
+        assert vocab and min(vocab.values()) >= 0, "negative ids not allowed"
+        return dict(vocab)
+
+    @staticmethod
+    def _ids_from_entries(vocab) -> dict:
+        """Text dictionary: line number = id, with the fairseq convention
+        (specials absent from the file, implicitly occupying ids 0-3)."""
+        entries = list(vocab)
+        if eos not in entries:
+            clash = sorted({sep, bos, pad, unk} & set(entries))
+            assert not clash, (
+                f"dictionary has a partial set of special tokens {clash}: "
+                "either none (fairseq-style) or at least '</s>' "
+                "(custom-style)")
+            entries = [sep, pad, eos, unk] + entries
+        return {t: i for i, t in enumerate(entries)}
+
+    def _resolve_special_ids(self):
+        """Each special falls back along a chain when its token is absent;
+        all five stay mutable (model configs may override them)."""
+        found = self.indices.get
+        self.eos_idx = found(eos)
+        self.padding_idx = found(pad, found(unk))
+        self.unk_idx = found(unk, self.padding_idx)
+        self.bos_idx = found(bos, self.eos_idx)
+        self.sep_idx = found(sep, self.bos_idx)
 
     @classmethod
     def build(cls, path: str, size: Optional[int] = None) -> "Dictionary":
@@ -123,17 +133,13 @@ class Dictionary:
         return iter(self.tokens)
 
     def __getitem__(self, idx: int) -> str:
-        # special ids win over the token list (eos/bos may share an id)
-        if idx == self.eos_idx:
-            return eos
-        if idx == self.padding_idx:
-            return pad
-        if idx == self.bos_idx:
-            return bos
-        if idx == self.sep_idx:
-            return sep
-        if idx == self.unk_idx:
-            return unk
+        # special ids win over the token list (eos/bos may share an id);
+        # read the attributes live — they are mutable
+        for token, special_idx in ((eos, self.eos_idx), (pad, self.padding_idx),
+                                   (bos, self.bos_idx), (sep, self.sep_idx),
+                                   (unk, self.unk_idx)):
+            if idx == special_idx:
+                return token
         return self.tokens[idx]
 
     def __setitem__(self, idx: int, token: str):
@@ -172,21 +178,24 @@ class Dictionary:
         """Re-map embedding rows to this dictionary's token order
         (test-time vocabulary filtering, pasero/preprocessing.py:217-236)."""
         old_embed = np.asarray(old_embed)
-        default_idx = old_dict.indices[default] if default else None
-        rows = np.zeros((len(self.tokens),) + old_embed.shape[1:], old_embed.dtype)
-        unk_count = 0
-        for index, token in enumerate(self.tokens):
-            if token in old_dict.indices:
-                rows[index] = old_embed[old_dict.indices[token]]
-            elif default_idx is not None:
-                rows[index] = old_embed[default_idx]
-                unk_count += 1
+        row_shape = old_embed.shape[1:]
+        fallback = old_dict.indices[default] if default else None
+
+        def new_row():
+            if init_fn is not None:
+                return init_fn(row_shape)
+            return np.random.normal(0, row_shape[-1] ** -0.5, row_shape)
+
+        misses = 0
+        rows = np.zeros((len(self.tokens),) + row_shape, old_embed.dtype)
+        for i, token in enumerate(self.tokens):
+            src = old_dict.indices.get(token, fallback)
+            if src is None:
+                rows[i] = new_row()
             else:
-                rows[index] = (init_fn(old_embed.shape[1:]) if init_fn else
-                               np.random.normal(0, old_embed.shape[-1] ** -0.5,
-                                                old_embed.shape[1:]))
-                unk_count += 1
-        logger.info(f"re-mapped embeddings: {unk_count}/{len(rows)} tokens "
+                rows[i] = old_embed[src]
+            misses += token not in old_dict.indices
+        logger.info(f"re-mapped embeddings: {misses}/{len(rows)} tokens "
                     f"mapped to {default!r}")
         return rows
 
@@ -262,43 +271,24 @@ class TextPreprocessor:
             "(" + "|".join(regex.escape(t) for t in split_tokens) + ")")
         self.set_stop_sequences(list(self.cfg.stop_sequences))
 
-    # mutable special ids proxied to the dictionary -------------------------
-    @property
-    def bos_idx(self):
-        return self.dictionary.bos_idx
+    # mutable special ids, proxied to the dictionary: assigning an id also
+    # registers the special token at that slot (bos additionally accepts -1
+    # for "no bos")
+    def _special_id_proxy(attr, token, skip_negative=False):
+        def read(self):
+            return getattr(self.dictionary, attr)
 
-    @bos_idx.setter
-    def bos_idx(self, value):
-        self.dictionary.bos_idx = value
-        if value >= 0:
-            self.dictionary[value] = bos
+        def write(self, value):
+            setattr(self.dictionary, attr, value)
+            if not (skip_negative and value < 0):
+                self.dictionary[value] = token
+        return property(read, write)
 
-    @property
-    def eos_idx(self):
-        return self.dictionary.eos_idx
-
-    @eos_idx.setter
-    def eos_idx(self, value):
-        self.dictionary.eos_idx = value
-        self.dictionary[value] = eos
-
-    @property
-    def padding_idx(self):
-        return self.dictionary.padding_idx
-
-    @padding_idx.setter
-    def padding_idx(self, value):
-        self.dictionary.padding_idx = value
-        self.dictionary[value] = pad
-
-    @property
-    def unk_idx(self):
-        return self.dictionary.unk_idx
-
-    @unk_idx.setter
-    def unk_idx(self, value):
-        self.dictionary.unk_idx = value
-        self.dictionary[value] = unk
+    bos_idx = _special_id_proxy("bos_idx", bos, skip_negative=True)
+    eos_idx = _special_id_proxy("eos_idx", eos)
+    padding_idx = _special_id_proxy("padding_idx", pad)
+    unk_idx = _special_id_proxy("unk_idx", unk)
+    del _special_id_proxy
 
     @classmethod
     def default_tokenizer_path(cls, tokenizer: str) -> Optional[str]:
