@@ -291,14 +291,14 @@ def beam_search(
     # permuting the self-attention KV cache at every step, track each logical
     # beam's physical cache row per slot and resolve the lineage inside
     # attention.  Measured on a v5e chip (scripts/bench_decode.py,
-    # transformer-base B=64 beam-5): the flat-one-hot permute costs
-    # ~4.5 ms/call at 65 cache slots and ~17 ms at 320 (scales with cache
-    # length); lineage attention is nearly flat (~11-12.5 ms/call), so the
-    # measured crossover sits at ~220 slots.  lineage=None picks by cache
-    # length; requires a decoder with the beam_lineage hook (the LSTM
-    # hybrid's has none).
+    # transformer-base B=64 beam-5): with the fusable cache write, lineage
+    # ties the flat-one-hot permute at short caches (4.4 ms/call at 65
+    # slots) and wins 1.7x at long ones (10.0 vs 17.0 ms at 320 — the
+    # permute's cost scales with cache length), so it is the default
+    # whenever the decoder has the beam_lineage hook (the LSTM hybrid's
+    # has none); lineage=False forces the permute path.
     if lineage is None:
-        lineage = (P + max_new) > 224
+        lineage = True
     use_lineage = (lineage and K > 1
                    and getattr(model, "supports_beam_lineage", False))
 

@@ -70,9 +70,16 @@ def lineage_attention(q, k_cache, v_cache, lineage, mask=None, bias=None,
     The selection is folded into the attention mask: slot (p, l) of the
     combined (P*L)-long key axis is attendable by logical beam k iff
     ``lineage[b, k, l] == p`` (and the kv mask allows l), so one masked
-    softmax over P*L replaces explicit per-slot selection — no gathers, no
-    selection einsums, no permuted intermediates; everything XLA sees is a
-    standard attention pattern it can fuse.
+    softmax over (P, L) replaces explicit per-slot selection.
+
+    Layout is the whole game here: every einsum touching the CACHE keeps
+    its batch dims (b, p, h) adjacent and in cache order, so XLA contracts
+    (B*K, H, L, D) cache buffers as-is.  A formulation with (b, h) split
+    around the beam axis forces a per-step cache relayout, which also
+    breaks the in-place `dynamic_update_slice` of the cache write — the
+    resulting full-cache copies were ~7 of the 11 ms/call this path cost
+    before (profiled on a v5e chip).  Only q/bias/weights (KB-to-few-MB
+    tensors) get transposed.
 
     q: (B*K, H, 1, D); k_cache/v_cache: (B*K, H, L, D);
     lineage: (B, K, L) int32; mask: bool (B*K, 1, 1, L);
@@ -80,24 +87,32 @@ def lineage_attention(q, k_cache, v_cache, lineage, mask=None, bias=None,
     """
     B, K, L = lineage.shape
     H, D = q.shape[1], q.shape[-1]
-    qb = q.reshape(B, K, H, D)
-    kb = k_cache.reshape(B, K, H, L, D)
+    kb = k_cache.reshape(B, K, H, L, D)          # physical rows p == dim 1
     vb = v_cache.reshape(B, K, H, L, D)
-    # scores against every physical row p: (B, K_logical, H, P_physical, L)
-    scores = jnp.einsum("bkhd,bphld->bkhpl", qb, kb,
+    # q arranged (B, 1->P, H, K_logical, D): tiny, transpose is free
+    qb = q.reshape(B, K, H, D).transpose(0, 2, 1, 3)[:, None]
+    # scores[b, p, h, k, l] — batch dims (b, p, h) match the cache layout
+    scores = jnp.einsum("bphkd,bphld->bphkl",
+                        jnp.broadcast_to(qb, (B, K, H, K, D)), kb,
                         preferred_element_type=jnp.float32) * scale
     if bias is not None:
         # bias depends only on the slot l, not the physical row
-        scores = scores + bias.reshape(
-            B, K, bias.shape[1], 1, L).astype(jnp.float32)
-    # (B, K, 1, P, L) True where physical row p holds beam k's slot l
-    sel = lineage[:, :, None, None, :] == jnp.arange(K)[None, None, None, :, None]
+        bias_t = bias.reshape(B, K, bias.shape[1], L).transpose(0, 2, 1, 3)
+        scores = scores + bias_t[:, None].astype(jnp.float32)
+    # (B, P, 1, K, L) True where physical row p holds beam k's slot l
+    sel = lineage[:, None, :, :] == jnp.arange(K)[None, :, None, None]
     if mask is not None:
-        sel = sel & mask.reshape(B, K, 1, 1, L)
-    scores = jnp.where(sel, scores, NEG_INF)
-    weights = jax.nn.softmax(scores.reshape(B, K, H, K * L), axis=-1)
-    weights = weights.reshape(B, K, H, K, L)
-    out = jnp.einsum("bkhpl,bphld->bkhd", weights.astype(vb.dtype), vb)
+        sel = sel & mask.reshape(B, K, L)[:, None, :, :]  # per logical beam k
+    scores = jnp.where(sel[:, :, None], scores, NEG_INF)
+    # joint softmax over the (p, l) axes without flattening (no reshapes
+    # of the big tensor)
+    m = jnp.max(scores, axis=(1, 4), keepdims=True)
+    e = jnp.exp(scores - m)
+    weights = e / jnp.sum(e, axis=(1, 4), keepdims=True)
+    # per-physical-row partial outputs, then a cheap reduction over p:
+    # non-selected (p, l) weights are exactly zero, so the sum is exact
+    out_p = jnp.einsum("bphkl,bphld->bphkd", weights.astype(vb.dtype), vb)
+    out = out_p.sum(axis=1).transpose(0, 2, 1, 3)    # (B, K, H, D)
     return out.reshape(B * K, H, 1, D)
 
 
@@ -188,7 +203,8 @@ class MultiheadAttention(nn.Module):
 
         if decode and self.cache_len > 0:
             k, v, kv_positions, mask, bias = self._update_cache(
-                k, v, kv_positions, positions, mask, bias)
+                k, v, kv_positions, positions, mask, bias,
+                fusable=beam_lineage is not None)
 
         scale = head_dim ** -0.5 if self.scale_attn else 1.0
 
@@ -271,11 +287,14 @@ class MultiheadAttention(nn.Module):
             return out, weights
         return out
 
-    def _update_cache(self, k, v, kv_positions, positions, mask, bias):
+    def _update_cache(self, k, v, kv_positions, positions, mask, bias,
+                      fusable=False):
         """Fixed-size ring-free cache: write current K/V at the step index.
 
         Self-attention: append k/v at index, attend over [0, index+Sq).
         Cross-attention: store encoder K/V once, reuse afterwards.
+        ``fusable``: prefer an elementwise select write over
+        dynamic_update_slice (see comment at the write site).
         """
         B, H, Sk, D = k.shape
         cached_k = self.variable("cache", "cached_key",
@@ -309,10 +328,20 @@ class MultiheadAttention(nn.Module):
             return new_k, new_v, kv_pos, mask, bias
 
         i = index.value
-        cached_k.value = jax.lax.dynamic_update_slice(
-            cached_k.value, k, (0, 0, i, 0))
-        cached_v.value = jax.lax.dynamic_update_slice(
-            cached_v.value, v, (0, 0, i, 0))
+        if fusable and Sk == 1:
+            # elementwise one-hot-select write instead of dynamic_update_slice:
+            # when the cache is a loop carry that another consumer forces out
+            # of its in-place layout (the lineage einsums), XLA lowers the DUS
+            # as a whole-buffer VMEM prefetch+writeback (~550 us per tensor,
+            # profiled on v5e) while this select fuses into one streaming pass
+            slot = jnp.arange(self.cache_len)[None, None, :, None] == i
+            cached_k.value = jnp.where(slot, k, cached_k.value)
+            cached_v.value = jnp.where(slot, v, cached_v.value)
+        else:
+            cached_k.value = jax.lax.dynamic_update_slice(
+                cached_k.value, k, (0, 0, i, 0))
+            cached_v.value = jax.lax.dynamic_update_slice(
+                cached_v.value, v, (0, 0, i, 0))
         index.value = i + Sk
         slots = jnp.arange(self.cache_len)
         valid = slots[None, :] < (i + Sk)                       # (1, L)
