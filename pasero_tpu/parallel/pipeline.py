@@ -43,6 +43,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 logger = logging.getLogger("parallel")
 
 STACK_KEY = "pp_stack"
+ENC_STACK_KEY = "pp_stack_enc"
 REST_KEY = "pp_rest"
 
 
@@ -54,54 +55,77 @@ def is_packed(params) -> bool:
     return isinstance(params, dict) and STACK_KEY in params
 
 
-def pack_pp_params(params: dict, num_layers: int) -> dict:
-    """Named layout -> ``{pp_stack: (L, ...) leaves, pp_rest: everything else}``."""
-    decoder = dict(params["decoder"])
-    layers = [decoder.pop(f"layers_{i}") for i in range(num_layers)]
-    stack = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+def _stack_module(rest: dict, module: str, num_layers: int):
+    sub = dict(rest[module])
+    layers = [sub.pop(f"layers_{i}") for i in range(num_layers)]
+    rest[module] = sub
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def _unstack_module(rest: dict, module: str, stack):
+    sub = dict(rest[module])
+    num_layers = jax.tree_util.tree_leaves(stack)[0].shape[0]
+    for i in range(num_layers):
+        sub[f"layers_{i}"] = jax.tree_util.tree_map(lambda x: x[i], stack)
+    rest[module] = sub
+
+
+def pack_pp_params(params: dict, num_layers: int,
+                   num_enc_layers: int = 0) -> dict:
+    """Named layout -> ``{pp_stack[_enc]: (L, ...) leaves, pp_rest: rest}``."""
     rest = dict(params)
-    rest["decoder"] = decoder
-    return {STACK_KEY: stack, REST_KEY: rest}
+    out = {REST_KEY: rest}
+    out[STACK_KEY] = _stack_module(rest, "decoder", num_layers)
+    if num_enc_layers and "encoder" in params:
+        out[ENC_STACK_KEY] = _stack_module(rest, "encoder", num_enc_layers)
+    return out
 
 
 def unpack_pp_params(packed: dict) -> dict:
-    """Stacked layout back to the named ``decoder/layers_i`` layout."""
+    """Stacked layout back to the named ``layers_i`` layout."""
     if not is_packed(packed):
         return packed
-    stack, rest = packed[STACK_KEY], packed[REST_KEY]
-    num_layers = jax.tree_util.tree_leaves(stack)[0].shape[0]
-    decoder = dict(rest["decoder"])
-    for i in range(num_layers):
-        decoder[f"layers_{i}"] = jax.tree_util.tree_map(
-            lambda x: x[i], stack)
-    out = dict(rest)
-    out["decoder"] = decoder
-    return out
+    rest = dict(packed[REST_KEY])
+    rest["decoder"] = dict(rest["decoder"])
+    _unstack_module(rest, "decoder", packed[STACK_KEY])
+    if ENC_STACK_KEY in packed:
+        _unstack_module(rest, "encoder", packed[ENC_STACK_KEY])
+    return rest
 
 
 def pp_param_shardings(packed: dict, mesh: Mesh) -> dict:
     """Stack leaves sharded over 'stage' on dim 0; the rest replicated."""
-    stage = jax.tree_util.tree_map(
-        lambda _: NamedSharding(mesh, P("stage")), packed[STACK_KEY])
-    repl = jax.tree_util.tree_map(
-        lambda _: NamedSharding(mesh, P()), packed[REST_KEY])
-    return {STACK_KEY: stage, REST_KEY: repl}
+    def shard(tree, spec):
+        return jax.tree_util.tree_map(
+            lambda _: NamedSharding(mesh, spec), tree)
+
+    out = {k: shard(v, P("stage")) for k, v in packed.items() if k != REST_KEY}
+    out[REST_KEY] = shard(packed[REST_KEY], P())
+    return out
 
 
 def check_pp_supported(model, dist_cfg):
     cfg = model.cfg
     problems = []
-    if cfg.model_type != "decoder":
-        problems.append("--pp-size requires a decoder-only model "
-                        "(encoder-decoder pipelining: use --tp-size/--fsdp)")
+    if cfg.model_type != "decoder" and getattr(cfg, "input_dim", None):
+        problems.append("--pp-size does not support speech encoders "
+                        "(conv subsampler changes the sequence length)")
     if getattr(dist_cfg, "tp_size", 1) > 1 or \
             getattr(dist_cfg, "ep_size", 1) > 1 or \
             getattr(dist_cfg, "cp_size", 1) > 1:
         problems.append("--pp-size composes with dp only (tp/ep/cp must be 1)")
-    if model.num_decoder_adapters or getattr(cfg, "lora_rank", 0):
+    if model.num_decoder_adapters or model.num_encoder_adapters \
+            or getattr(cfg, "lora_rank", 0):
         problems.append("--pp-size does not support adapters/LoRA")
     if getattr(cfg, "moe_num_experts", None):
         problems.append("--pp-size does not support MoE layers")
+    pp = getattr(dist_cfg, "pp_size", 1)
+    if cfg.decoder_layers % pp:
+        problems.append(f"decoder_layers={cfg.decoder_layers} not divisible "
+                        f"by pp_size={pp}")
+    if cfg.model_type != "decoder" and cfg.encoder_layers % pp:
+        problems.append(f"encoder_layers={cfg.encoder_layers} not divisible "
+                        f"by pp_size={pp}")
     if problems:
         raise ValueError("; ".join(problems))
 
@@ -191,103 +215,163 @@ def make_pp_forward(model, mesh: Mesh, num_stages: int, microbatches: int):
     unpipelined forward is asserted in tests/test_pipeline_parallel.py.
     """
     from ..models.transformer import (TransformerDecoderLayer,
+                                      TransformerEncoderLayer,
                                       positions_from_mask)
-    from ..models.modules import Embedding, make_norm
+    from ..models.modules import Embedding, Linear, make_norm
     from ..models.positional import PositionalEmbedding, alibi_bias, \
         T5RelativeBias
 
     cfg = model.cfg
-    vocab_size = model.tgt_vocab_size or model.src_vocab_size
+    is_enc_dec = cfg.model_type != "decoder"
+    tgt_vocab = model.tgt_vocab_size or model.src_vocab_size
     dtype = model.dtype
     kernel = model.kernel or getattr(cfg, "attention_kernel", None) or "xla"
-    layer_mod = TransformerDecoderLayer(
-        cfg, layer_id=0, has_cross_attention=False, kernel=kernel, dtype=dtype)
-    embed_mod = Embedding(vocab_size, cfg.embed_dim, dtype=dtype)
-    pe = cfg.decoder_positional_encoding
+    dec_layer_mod = TransformerDecoderLayer(
+        cfg, layer_id=0, has_cross_attention=is_enc_dec, kernel=kernel,
+        dtype=dtype)
+    enc_layer_mod = TransformerEncoderLayer(cfg, layer_id=0, kernel=kernel,
+                                            dtype=dtype)
+    tgt_embed_mod = Embedding(tgt_vocab, cfg.embed_dim, dtype=dtype)
+    src_embed_mod = Embedding(model.src_vocab_size, cfg.embed_dim, dtype=dtype)
 
-    def layer_fn(lp, y, sh, fold):
-        self_mask, self_bias, positions, dropout_rng, deterministic = sh
-        rngs = None
-        if not deterministic:
-            rngs = {"dropout": jax.random.fold_in(dropout_rng, fold)}
-        return layer_mod.apply(
-            {"params": lp}, y, self_mask=self_mask, self_bias=self_bias,
-            positions=positions, deterministic=deterministic, rngs=rngs)
+    def embed_params(rest, side):
+        if "shared_embed" in rest:
+            return rest["shared_embed"]
+        return rest[side]["embed_tokens"]
 
-    if getattr(cfg, "checkpoint_activations", False):
-        layer_fn = jax.checkpoint(layer_fn, static_argnums=())
+    def remat(fn):
+        if getattr(cfg, "checkpoint_activations", False):
+            return jax.checkpoint(fn)
+        return fn
 
-    def forward(packed_params, tokens, tgt_mask=None, deterministic=True,
-                dropout_rng=None):
-        rest = packed_params[REST_KEY]
-        dec = rest["decoder"]
-        if tgt_mask is None:
-            tgt_mask = tokens != cfg.padding_idx
-        positions = positions_from_mask(tgt_mask)
+    def prelude(rest, side, embed_mod, tokens, mask, deterministic,
+                dropout_rng, fold_base):
+        """Everything before the layer stack: embedding, positional encoding,
+        embed norm/dropout, self mask, relative bias."""
+        sub = rest[side]
+        pe = getattr(cfg, f"{side}_positional_encoding")
+        heads = getattr(cfg, f"{side}_attention_heads")
+        causal = side == "decoder"
+        positions = positions_from_mask(mask)
 
-        x = embed_mod.apply({"params": dec["embed_tokens"]}, tokens)
+        x = embed_mod.apply({"params": embed_params(rest, side)}, tokens)
         if cfg.scale_embed:
             x = x * (cfg.embed_dim ** 0.5)
         if pe in ("sinusoidal", "learned"):
             x = PositionalEmbedding(
-                kind=pe, max_len=cfg.decoder_max_len, dim=cfg.embed_dim,
-                shift=cfg.positional_encoding_shift).apply(
-                {"params": dec.get("embed_positions", {})}, x, positions)
-        if cfg.decoder_embed_norm:
-            x = make_norm(cfg, dtype).apply(
-                {"params": dec["embed_norm"]}, x)
+                kind=pe, max_len=getattr(cfg, f"{side}_max_len"),
+                dim=cfg.embed_dim, shift=cfg.positional_encoding_shift).apply(
+                {"params": sub.get("embed_positions", {})}, x, positions)
+        if getattr(cfg, f"{side}_embed_norm"):
+            x = make_norm(cfg, dtype).apply({"params": sub["embed_norm"]}, x)
         embed_dropout = (cfg.embed_dropout if cfg.embed_dropout is not None
                          else cfg.dropout)
         if not deterministic and embed_dropout:
-            # 2^31-1: outside the layer fold range (t * S + stage >= 0),
+            # fold_base is outside the layer fold range (t * S + stage >= 0)
             # and positive (rbg keys are uint32 — negative folds overflow)
             keep = jax.random.bernoulli(
-                jax.random.fold_in(dropout_rng, 2 ** 31 - 1),
+                jax.random.fold_in(dropout_rng, fold_base),
                 1.0 - embed_dropout, x.shape)
             x = x * keep / (1.0 - embed_dropout)
 
-        self_mask = tgt_mask[:, None, None, :]
-        self_bias = None
+        bias = None
         if pe == "alibi":
-            self_bias = alibi_bias(cfg.decoder_attention_heads, positions,
-                                   positions, max_bias=cfg.alibi_max_bias,
-                                   causal=True)
+            bias = alibi_bias(heads, positions, positions,
+                              max_bias=cfg.alibi_max_bias, causal=causal)
         elif pe == "t5":
-            self_bias = T5RelativeBias(
-                cfg.decoder_attention_heads, bidirectional=False).apply(
-                {"params": dec["t5_bias"]}, positions, positions)
-        if self_bias is not None and self_bias.shape[0] == 1:
-            self_bias = jnp.broadcast_to(
-                self_bias, (tokens.shape[0],) + self_bias.shape[1:])
+            bias = T5RelativeBias(heads, bidirectional=not causal).apply(
+                {"params": sub["t5_bias"]}, positions, positions)
+        if bias is not None and bias.shape[0] == 1:
+            bias = jnp.broadcast_to(bias,
+                                    (tokens.shape[0],) + bias.shape[1:])
+        return x, mask[:, None, None, :], bias, positions
 
+    def forward(packed_params, tokens, tgt_mask=None, src_tokens=None,
+                src_mask=None, deterministic=True, dropout_rng=None):
+        rest = packed_params[REST_KEY]
+        dec = rest["decoder"]
+        if tgt_mask is None:
+            tgt_mask = tokens != cfg.padding_idx
         if dropout_rng is None:
             dropout_rng = jax.random.PRNGKey(0)
-        # rngs ride `shared` so each microbatch/stage folds its own key;
-        # deterministic is static (python bool), so it skips the tree
-        shared = (self_mask, self_bias, positions,
-                  jnp.broadcast_to(dropout_rng[None], (tokens.shape[0],)
-                                   + dropout_rng.shape), deterministic)
-        shared_dyn = tuple(s for s in shared[:4] if s is not None)
 
-        def layer_fn_packed(lp, y, sh, fold):
+        def rng_rows(n):
+            # rngs ride `shared` so each microbatch/stage folds its own key
+            return jnp.broadcast_to(dropout_rng[None],
+                                    (n,) + dropout_rng.shape)
+
+        encoder_out = encoder_mask = encoder_positions = None
+        if is_enc_dec:
+            if src_mask is None:
+                src_mask = src_tokens != cfg.padding_idx
+            x, enc_mask4, enc_bias, enc_pos = prelude(
+                rest, "encoder", src_embed_mod, src_tokens, src_mask,
+                deterministic, dropout_rng, 2 ** 31 - 2)
+
+            @remat
+            def enc_layer_fn(lp, y, sh, fold):
+                it = iter(sh)
+                m = next(it)
+                b = next(it) if enc_bias is not None else None
+                pos = next(it)
+                rng = next(it)[0]
+                rngs = None if deterministic else \
+                    {"dropout": jax.random.fold_in(rng, fold)}
+                return enc_layer_mod.apply(
+                    {"params": lp}, y, mask=m, bias=b, positions=pos,
+                    deterministic=deterministic, rngs=rngs)
+
+            enc_shared = tuple(
+                s for s in (enc_mask4, enc_bias, enc_pos,
+                            rng_rows(src_tokens.shape[0])) if s is not None)
+            encoder_out = gpipe(enc_layer_fn, packed_params[ENC_STACK_KEY],
+                                x, enc_shared, mesh=mesh,
+                                num_stages=num_stages,
+                                microbatches=microbatches)
+            if cfg.encoder_prenorm:
+                encoder_out = make_norm(cfg, dtype).apply(
+                    {"params": rest["encoder"]["final_norm"]}, encoder_out)
+            encoder_mask = src_mask
+            encoder_positions = positions_from_mask(src_mask)
+
+        x, self_mask, self_bias, positions = prelude(
+            rest, "decoder", tgt_embed_mod, tokens, tgt_mask,
+            deterministic, dropout_rng, 2 ** 31 - 1)
+
+        @remat
+        def dec_layer_fn(lp, y, sh, fold):
             it = iter(sh)
             sm = next(it)
             sb = next(it) if self_bias is not None else None
             pos = next(it)
             rng = next(it)[0]
-            return layer_fn(lp, y, (sm, sb, pos, rng, deterministic), fold)
+            enc = next(it) if is_enc_dec else None
+            cm = next(it)[:, None, None, :] if is_enc_dec else None
+            ep = next(it) if is_enc_dec else None
+            rngs = None if deterministic else \
+                {"dropout": jax.random.fold_in(rng, fold)}
+            return dec_layer_mod.apply(
+                {"params": lp}, y, encoder_out=enc, self_mask=sm,
+                cross_mask=cm, self_bias=sb, positions=pos,
+                encoder_positions=ep, deterministic=deterministic, rngs=rngs)
 
-        x = gpipe(layer_fn_packed, packed_params[STACK_KEY], x, shared_dyn,
+        shared = [self_mask, self_bias, positions,
+                  rng_rows(tokens.shape[0])]
+        if is_enc_dec:
+            shared += [encoder_out, encoder_mask, encoder_positions]
+        shared_dyn = tuple(s for s in shared if s is not None)
+
+        x = gpipe(dec_layer_fn, packed_params[STACK_KEY], x, shared_dyn,
                   mesh=mesh, num_stages=num_stages, microbatches=microbatches)
 
         if cfg.decoder_prenorm:
             x = make_norm(cfg, dtype).apply({"params": dec["final_norm"]}, x)
         if cfg.tied_output_projection:
-            logits = embed_mod.apply({"params": dec["embed_tokens"]}, x,
-                                     method=Embedding.attend)
+            logits = tgt_embed_mod.apply(
+                {"params": embed_params(rest, "decoder")}, x,
+                method=Embedding.attend)
         else:
-            from ..models.modules import Linear
-            logits = Linear(vocab_size, use_bias=False, dtype=dtype).apply(
+            logits = Linear(tgt_vocab, use_bias=False, dtype=dtype).apply(
                 {"params": dec["output_projection"]}, x)
         return logits.astype(jnp.float32)
 

@@ -94,6 +94,10 @@ class Trainer:
         self._accum_stats = None
 
     # -- setup ---------------------------------------------------------------
+    def _pp_enc_layers(self) -> int:
+        return (self.model.cfg.encoder_layers
+                if self.model.cfg.model_type != "decoder" else 0)
+
     def _example_batch(self):
         B, S, T = 8, 16, 16
         batch = {"decoder_input": np.full((B, T), self.pad_idx, np.int32),
@@ -151,12 +155,14 @@ class Trainer:
         with self.mesh:
             self.params = init_jit(init_rng)
         if self.pp_size > 1:
-            # stack decoder layers over the 'stage' mesh axis (GPipe layout);
-            # checkpoints stay in the named layers_i layout (save/load convert)
+            # stack en/decoder layers over the 'stage' mesh axis (GPipe
+            # layout); checkpoints stay in the named layers_i layout
+            # (save/load convert)
             from ..parallel import pipeline as pp
-            n_layers = self.model.cfg.decoder_layers
             with self.mesh:
-                packed = pp.pack_pp_params(self.params, n_layers)
+                packed = pp.pack_pp_params(
+                    self.params, self.model.cfg.decoder_layers,
+                    self._pp_enc_layers())
                 self.param_shardings = pp.pp_param_shardings(packed, self.mesh)
                 self.params = jax.device_put(packed, self.param_shardings)
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(self.params))
@@ -208,7 +214,8 @@ class Trainer:
                 reset_params_regex=cfg.reset_params_regex)
             with self.mesh:
                 params = jax.device_put(
-                    pp.pack_pp_params(params, self.model.cfg.decoder_layers),
+                    pp.pack_pp_params(params, self.model.cfg.decoder_layers,
+                                      self._pp_enc_layers()),
                     self.param_shardings)
         else:
             params, *_ = checkpoints.load_params(
@@ -263,6 +270,8 @@ class Trainer:
                 batch["prompt_mask"].astype(jnp.int32), 0).astype(bool)
             if pp_forward is not None:
                 logits = pp_forward(params, batch["decoder_input"],
+                                    src_tokens=batch.get("src_tokens"),
+                                    src_mask=batch.get("src_mask"),
                                     deterministic=False,
                                     dropout_rng=dropout_rng)
                 mutated = {}
@@ -316,6 +325,8 @@ class Trainer:
                 batch["target_mask"].astype(jnp.int32), 0).astype(bool)
             if pp_forward is not None:
                 logits = pp_forward(params, batch["decoder_input"],
+                                    src_tokens=batch.get("src_tokens"),
+                                    src_mask=batch.get("src_mask"),
                                     deterministic=True)
             else:
                 kwargs = self._model_kwargs(batch, deterministic=True)
@@ -362,11 +373,15 @@ class Trainer:
             if B % mult:
                 extra = mult - B % mult
                 batch = dict(batch)
-                for k in ("decoder_input", "target_mask", "prompt_mask"):
+                for k in ("decoder_input", "target_mask", "prompt_mask",
+                          "src_tokens", "src_mask"):
+                    if k not in batch:
+                        continue
                     v = batch[k]
-                    pad_block = np.full((extra,) + v.shape[1:],
-                                        self.pad_idx if k == "decoder_input"
-                                        else 0, v.dtype)
+                    pad_block = np.full(
+                        (extra,) + v.shape[1:],
+                        self.pad_idx if k in ("decoder_input", "src_tokens")
+                        else 0, np.asarray(v).dtype)
                     batch[k] = np.concatenate([np.asarray(v), pad_block], 0)
         out = {}
         for k in ("decoder_input", "target_mask", "prompt_mask",

@@ -172,9 +172,100 @@ def test_pp_checkpoint_roundtrip():
 
 def test_pp_rejects_unsupported():
     with tempfile.TemporaryDirectory() as tmp:
+        # indivisible layer count
         cfg = make_train_cfg(tmp, dp_size=2, pp_size=4)
-        cfg.model_cfg.model_type = "encoder_decoder"
+        cfg.model_cfg.decoder_layers = 3
         mesh = make_mesh(2, pp_size=4)
         model = Transformer(cfg.model_cfg, src_vocab_size=VOCAB)
-        with pytest.raises(ValueError, match="decoder-only"):
+        with pytest.raises(ValueError, match="not divisible"):
             Trainer(cfg, task=None, model=model, mesh=mesh)
+        # speech encoder (conv subsampler)
+        cfg2 = make_train_cfg(tmp, dp_size=2, pp_size=4)
+        cfg2.model_cfg.model_type = "encoder_decoder"
+        cfg2.model_cfg.encoder_layers = 4
+        cfg2.model_cfg.input_dim = 40
+        model2 = Transformer(cfg2.model_cfg, src_vocab_size=VOCAB)
+        with pytest.raises(ValueError, match="speech"):
+            Trainer(cfg2, task=None, model=model2, mesh=mesh)
+
+
+def enc_dec_cfg(pe="sinusoidal"):
+    cfg = decoder_cfg(pe=pe)
+    cfg.model_type = "encoder_decoder"
+    cfg.encoder_layers = 4
+    cfg.encoder_ffn_dim = 128
+    cfg.encoder_attention_heads = 2
+    cfg.encoder_positional_encoding = pe
+    return cfg
+
+
+def test_pp_encoder_decoder_parity():
+    """Both layer stacks pipelined: fp32 enc-dec forward matches the
+    sequential model bit-for-bit, grads to float tolerance."""
+    cfg = enc_dec_cfg()
+    model = Transformer(cfg, src_vocab_size=VOCAB, dtype=jnp.float32)
+    src = tokens_batch(seed=1)
+    tgt = tokens_batch(seed=2)
+    params = model.init(jax.random.PRNGKey(0), src_tokens=src,
+                        decoder_input=tgt)["params"]
+    out = model.apply({"params": params}, src_tokens=src, decoder_input=tgt,
+                      deterministic=True)
+    ref_logits = out["logits"] if isinstance(out, dict) else out
+
+    mesh = make_mesh(dp_size=2, pp_size=4)
+    packed = pack_pp_params(params, cfg.decoder_layers, cfg.encoder_layers)
+    roundtrip = unpack_pp_params(packed)
+    assert jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: jnp.array_equal(a, b), params, roundtrip))
+
+    fwd = make_pp_forward(model, mesh, num_stages=4, microbatches=4)
+    with mesh:
+        logits = jax.jit(
+            lambda p, s, t: fwd(p, t, src_tokens=s))(packed, src, tgt)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               atol=1e-5)
+
+    def loss_pp(p, s, t):
+        lg = fwd(p, t, src_tokens=s)
+        return jnp.sum(jax.nn.log_softmax(lg, -1)[..., 0]) / t.size
+
+    def loss_ref(p, s, t):
+        o = model.apply({"params": p}, src_tokens=s, decoder_input=t,
+                        deterministic=True)
+        lg = o["logits"] if isinstance(o, dict) else o
+        return jnp.sum(jax.nn.log_softmax(lg, -1)[..., 0]) / t.size
+
+    with mesh:
+        g_pp = jax.jit(jax.grad(loss_pp))(packed, src, tgt)
+    g_ref = jax.grad(loss_ref)(params, src, tgt)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=1e-5),
+        unpack_pp_params(jax.device_get(g_pp)), g_ref)
+
+
+def test_pp_enc_dec_trainer_matches_single_device():
+    """Translation-style batch through the pp trainer == single device."""
+    losses = {}
+    for name, kwargs in [("single", dict(dp_size=1)),
+                         ("dp2_pp2", dict(dp_size=2, pp_size=2))]:
+        with tempfile.TemporaryDirectory() as tmp:
+            cfg = make_train_cfg(tmp, **kwargs)
+            cfg.model_cfg.model_type = "encoder_decoder"
+            cfg.model_cfg.encoder_layers = 4
+            cfg.model_cfg.encoder_ffn_dim = 128
+            cfg.model_cfg.encoder_attention_heads = 2
+            n = (cfg.dp_size or 1) * cfg.pp_size
+            mesh = make_mesh(cfg.dp_size, pp_size=cfg.pp_size,
+                             devices=jax.devices()[:n])
+            model = Transformer(cfg.model_cfg, src_vocab_size=VOCAB)
+            trainer = Trainer(cfg, task=None, model=model, mesh=mesh)
+            batch = lm_batch()
+            rng = np.random.default_rng(3)
+            batch["src_tokens"] = rng.integers(
+                4, VOCAB, (8, 12)).astype(np.int32)
+            batch["src_mask"] = np.ones((8, 12), bool)
+            logs = trainer.train_step(iter([batch]))
+        losses[name] = logs["loss"]
+        assert np.isfinite(logs["loss"])
+    assert abs(losses["single"] - losses["dp2_pp2"]) < 2e-2, losses
