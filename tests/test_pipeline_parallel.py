@@ -133,6 +133,28 @@ def test_pp_trainer_matches_single_device():
     assert abs(losses["single"] - losses["pp2"]) < 2e-2, losses
 
 
+def test_pp_grad_accumulation():
+    """--virtual-dp-size (host micro-batch loop) composes with the GPipe
+    step: two half batches accumulate to the full-batch loss."""
+    with tempfile.TemporaryDirectory() as tmp:
+        _, full = run_trainer(tmp, dp_size=1, pp_size=2, pp_microbatches=4)
+        logs_full = full.train_step(iter([lm_batch(B=8)]))
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = make_train_cfg(tmp, dp_size=1, pp_size=2, pp_microbatches=4,
+                             virtual_dp_size=4)  # world=2 -> update_freq=2
+        mesh = make_mesh(1, pp_size=2, devices=jax.devices()[:2])
+        model = Transformer(cfg.model_cfg, src_vocab_size=VOCAB)
+        accum = Trainer(cfg, task=None, model=model, mesh=mesh)
+        whole = lm_batch(B=8)
+        first = {k: (v[:4] if hasattr(v, "ndim") else 4)
+                 for k, v in whole.items()}
+        second = {k: (v[4:] if hasattr(v, "ndim") else 4)
+                  for k, v in whole.items()}
+        logs_accum = accum.train_step(iter([first, second]))
+    assert abs(logs_full["loss"] - logs_accum["loss"]) < 2e-2, \
+        (logs_full["loss"], logs_accum["loss"])
+
+
 def test_pp_checkpoint_roundtrip():
     """Checkpoints stay in the named layers_i layout: a --pp-size run saves a
     checkpoint a plain run can load (and vice versa), bit-identical params."""
