@@ -6,28 +6,40 @@ is deferred so `--help` works without it.
 """
 
 import argparse
+import contextlib
 import sys
 
-parser = argparse.ArgumentParser()
-parser.add_argument("sentencepiece_model")
-parser.add_argument("--input", "-i",
-                    help="input file (default: standard input)")
-parser.add_argument("--output", "-o",
-                    help="output file (default: standard output)")
 
-if __name__ == "__main__":
-    args = parser.parse_args()
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Tokenize stdin (or -i FILE) into SentencePiece pieces")
+    parser.add_argument("sentencepiece_model")
+    parser.add_argument("--input", "-i",
+                        help="input file (default: standard input)")
+    parser.add_argument("--output", "-o",
+                        help="output file (default: standard output)")
+    args = parser.parse_args(argv)
+
     try:
         import sentencepiece as spm
     except ImportError:
         sys.exit("spm_encode.py requires the `sentencepiece` package "
                  "(pip install sentencepiece)")
-    infile = open(args.input) if args.input and args.input != "-" else sys.stdin
-    outfile = open(args.output, "w") if args.output else sys.stdout
-    model = spm.SentencePieceProcessor(model_file=args.sentencepiece_model)
-    try:
-        for line in infile:
-            pieces = model.EncodeAsPieces(line.strip())
-            print(*pieces, file=outfile)
-    except (KeyboardInterrupt, BrokenPipeError):
-        sys.stdout = None
+    processor = spm.SentencePieceProcessor(
+        model_file=args.sentencepiece_model)
+
+    with contextlib.ExitStack() as stack:
+        src = sys.stdin
+        if args.input and args.input != "-":
+            src = stack.enter_context(open(args.input))
+        dst = sys.stdout
+        if args.output:
+            dst = stack.enter_context(open(args.output, "w"))
+        with contextlib.suppress(KeyboardInterrupt, BrokenPipeError):
+            for line in src:
+                dst.write(" ".join(
+                    processor.EncodeAsPieces(line.strip())) + "\n")
+
+
+if __name__ == "__main__":
+    main()
