@@ -38,9 +38,11 @@ def main(argv=None):
 
     from pasero_tpu.config import get_model_config_cls
     from pasero_tpu.decoding.search import beam_search, sample_decode
+    from pasero_tpu.config import get_model_cls
     from pasero_tpu.models.transformer import Transformer
 
-    cfg = get_model_config_cls(args.arch)()
+    model_cls, cfg_cls = get_model_cls(args.arch)
+    cfg = cfg_cls()
     cfg.set_defaults("translation")
     cfg.dropout = 0.0
     B, S, K, N = args.batch, args.src_len, args.beam, args.max_new
@@ -48,8 +50,8 @@ def main(argv=None):
     pad, bos, eos = cfg.padding_idx, cfg.bos_idx, cfg.eos_idx
 
     P = args.prompt_len
-    model = Transformer(cfg, src_vocab_size=V, self_cache_len=P + N,
-                        cross_cache_len=S)
+    model = model_cls(cfg, src_vocab_size=V, self_cache_len=P + N,
+                      cross_cache_len=S)
     rng = np.random.default_rng(0)
     src = jnp.asarray(rng.integers(4, V, (B, S)), jnp.int32)
     prompt = jnp.full((B, P), max(bos, eos), jnp.int32)
@@ -57,7 +59,7 @@ def main(argv=None):
     params = model.init(jax.random.PRNGKey(0), src_tokens=src,
                         decoder_input=prompt)["params"]
     encoder_out, encoder_mask = model.apply({"params": params}, src,
-                                            method=Transformer.encode)
+                                            method=model_cls.encode)
 
     def timed(label, fn):
         out = fn()                      # compile + warm
