@@ -299,7 +299,7 @@ class DynamicTrainingDataset(TrainingDatasetBase):
                 f"pipeline | batches queued {self._queue.qsize()}/"
                 f"{self.QUEUE_SIZE} | samples/s {(samples - prev_samples) / dt:.0f}"
                 f" | tokens/s {(tokens - prev_tokens) / dt:.0f}"
-                f" | skipped {self.skipped / total:.2%}"
+                f" | skipped {self.skipped / max(total, 1):.2%}"
                 f" | cpu_mem_used {rss_gib:.2f}" +
                 (f" | cache {len(self._cache)} samples "
                  f"{self._cache_bytes / 2**30:.2f}GiB" if self._cache_cap

@@ -79,6 +79,26 @@ def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _bias_rows(bias, B: int, H: int):
+    """(b0, h0, Sq, Sk) bias -> rows (b0*h0, Sq, Sk) + a bh -> row map.
+
+    b0/h0 may be 1 (shared over batch / heads).  Indexing the unbroadcast
+    rows from the kernel's BlockSpec instead of materializing a
+    (B*H, Sq, Sk) broadcast keeps the HBM cost of a shared (ALiBi/T5) bias
+    at O(H * Sq * Sk) regardless of batch size."""
+    b0, h0 = bias.shape[0], bias.shape[1]
+    rows = bias.reshape(b0 * h0, bias.shape[2], bias.shape[3])
+    if b0 == 1 and h0 == 1:
+        row = lambda bh: bh * 0
+    elif b0 == 1:
+        row = lambda bh: bh % H
+    elif h0 == 1:
+        row = lambda bh: bh // H
+    else:
+        row = lambda bh: bh
+    return rows, row
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
@@ -165,12 +185,11 @@ def _fwd(q, k, v, kv_mask, bias, scale, causal, window):
                          ).reshape(B * H, 1, Sk).astype(jnp.int32),
     ]
     if bias is not None:
-        hb = bias.shape[1]
-        bias_bh = jnp.broadcast_to(bias, (B, H, Sq, Sk)).reshape(B * H, Sq, Sk)
+        bias_r, brow = _bias_rows(bias, B, H)
         in_specs.append(pl.BlockSpec((1, block_q, Sk),
-                                     lambda bh, qb: (bh, qb, 0),
+                                     lambda bh, qb: (brow(bh), qb, 0),
                                      memory_space=pltpu.VMEM))
-        args.append(bias_bh)
+        args.append(bias_r)
         kernel = functools.partial(
             _fwd_kernel, scale=scale, causal=causal, window=window,
             num_k_blocks=num_k_blocks, block_k=block_k)
@@ -303,10 +322,11 @@ def _fwd_stream(q, k, v, kv_mask, bias, scale, causal, window):
     kw = dict(scale=scale, causal=causal, window=window,
               num_k_blocks=num_k_blocks, block_q=block_q, block_k=block_k)
     if bias is not None:
+        bias_r, brow = _bias_rows(bias, B, H)
         in_specs.append(pl.BlockSpec((1, block_q, block_k),
-                                     lambda bh, qb, kb: (bh, qb, kb), **common))
-        args.append(jnp.broadcast_to(bias, (B, H, Sq, Sk))
-                    .reshape(B * H, Sq, Sk))
+                                     lambda bh, qb, kb: (brow(bh), qb, kb),
+                                     **common))
+        args.append(bias_r)
         kernel = functools.partial(_fwd_stream_kernel, **kw)
     else:
         def kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, lse_ref,
@@ -461,8 +481,7 @@ def _bwd_stream(scale, causal, window, q, k, v, kv_mask, bias, do, lse, delta):
     do_r = do.reshape(B * H, Sq, D)
     lse_r = lse.reshape(B * H, 1, Sq)
     delta_r = delta.reshape(B * H, 1, Sq)
-    bias_r = (jnp.broadcast_to(bias, (B, H, Sq, Sk)).reshape(B * H, Sq, Sk)
-              if bias is not None else None)
+    bias_r, brow = _bias_rows(bias, B, H) if bias is not None else (None, None)
 
     # -- dq: grid (bh, q-block, k-block) -------------------------------------
     kw = dict(scale=scale, causal=causal, window=window,
@@ -478,7 +497,8 @@ def _bwd_stream(scale, causal, window, q, k, v, kv_mask, bias, do, lse, delta):
     dq_args = [q_r, k_r, v_r, mask_bh]
     if bias_r is not None:
         dq_specs.append(pl.BlockSpec((1, BQ, BK),
-                                     lambda bh, qb, kb: (bh, qb, kb), **common))
+                                     lambda bh, qb, kb: (brow(bh), qb, kb),
+                                     **common))
         dq_args.append(bias_r)
         dq_kernel = functools.partial(_bwd_dq_stream_kernel, **kw)
     else:
@@ -516,7 +536,7 @@ def _bwd_stream(scale, causal, window, q, k, v, kv_mask, bias, do, lse, delta):
     dkv_args = [q_r, k_r, v_r, mask_bh]
     if bias_r is not None:
         dkv_specs.append(pl.BlockSpec((1, BQ, BK),
-                                      lambda bh, kb, qb: (bh, qb, kb),
+                                      lambda bh, kb, qb: (brow(bh), qb, kb),
                                       **common))
         dkv_args.append(bias_r)
         dkv_kernel = functools.partial(_bwd_dkv_stream_kernel, **kw2)
@@ -699,10 +719,11 @@ def _dbias_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, do_ref, lse_ref,
     jax.lax.fori_loop(0, upper, body, 0)
 
 
-def _compute_dbias(bias, q_r, k_r, v_r, mask_bh, bias_r, do_r, lse_r, delta_r,
+def _compute_dbias(bias, q_r, k_r, v_r, mask_bh, do_r, lse_r, delta_r,
                    B, H, group, Sq, Sk, D, scale, causal, window):
     """Gradient w.r.t. the (b0, h0, Sq, Sk) bias passed to _flash."""
     b0, h0 = bias.shape[0], bias.shape[1]
+    bias_r, brow = _bias_rows(bias, B, H)
     kernel = functools.partial(
         _dbias_kernel, scale=scale, causal=causal, window=window,
         num_k_blocks=Sk // BLOCK_K, block_k=BLOCK_K)
@@ -722,7 +743,8 @@ def _compute_dbias(bias, q_r, k_r, v_r, mask_bh, bias_r, do_r, lse_r, delta_r,
         pl.BlockSpec((1, Sk, D), lambda *g: (bh(*g) // group, 0, 0), **common),
         pl.BlockSpec((1, Sk, D), lambda *g: (bh(*g) // group, 0, 0), **common),
         pl.BlockSpec((1, 1, Sk), lambda *g: (bh(*g), 0, 0), **common),
-        pl.BlockSpec((1, BLOCK_Q, Sk), lambda *g: (bh(*g), g[1], 0), **common),
+        pl.BlockSpec((1, BLOCK_Q, Sk), lambda *g: (brow(bh(*g)), g[1], 0),
+                     **common),
         pl.BlockSpec((1, BLOCK_Q, D), lambda *g: (bh(*g), g[1], 0), **common),
         pl.BlockSpec((1, 1, BLOCK_Q), lambda *g: (bh(*g), 0, g[1]), **common),
         pl.BlockSpec((1, 1, BLOCK_Q), lambda *g: (bh(*g), 0, g[1]), **common),
@@ -768,7 +790,6 @@ def _bwd(scale, causal, window, residuals, g):
             dbias_s = _compute_dbias(
                 bias, q.reshape(B * H, Sq, D), k.reshape(B * Hkv, Sk, D),
                 v.reshape(B * Hkv, Sk, D), mask_bh_s,
-                jnp.broadcast_to(bias, (B, H, Sq, Sk)).reshape(B * H, Sq, Sk),
                 do.reshape(B * H, Sq, D), lse.reshape(B * H, 1, Sq),
                 delta.reshape(B * H, 1, Sq), B, H, group, Sq, Sk, D,
                 scale, causal, window)
@@ -782,8 +803,7 @@ def _bwd(scale, causal, window, residuals, g):
     do_r = do.reshape(B * H, Sq, D)
     lse_r = lse.reshape(B * H, 1, Sq)
     delta_r = delta.reshape(B * H, 1, Sq)
-    bias_r = (jnp.broadcast_to(bias, (B, H, Sq, Sk)).reshape(B * H, Sq, Sk)
-              if bias is not None else None)
+    bias_r, brow = _bias_rows(bias, B, H) if bias is not None else (None, None)
 
     common_specs = dict(memory_space=pltpu.VMEM)
     kv_spec = pl.BlockSpec((1, Sk, D), lambda bh, blk: (bh // group, 0, 0),
@@ -797,7 +817,8 @@ def _bwd(scale, causal, window, residuals, g):
     dq_args = [q_r, k_r, v_r, mask_bh]
     if bias_r is not None:
         dq_specs.append(pl.BlockSpec((1, BQ, Sk),
-                                     lambda bh, qb: (bh, qb, 0), **common_specs))
+                                     lambda bh, qb: (brow(bh), qb, 0),
+                                     **common_specs))
         dq_args.append(bias_r)
         dq_kernel = functools.partial(
             _bwd_dq_kernel, scale=scale, causal=causal, window=window,
@@ -835,7 +856,8 @@ def _bwd(scale, causal, window, residuals, g):
     dkv_args = [q_r, k_r, v_r, mask_bh]
     if bias_r is not None:
         dkv_specs.append(pl.BlockSpec((1, Sq, BK),
-                                      lambda bh, kb: (bh, 0, kb), **common_specs))
+                                      lambda bh, kb: (brow(bh), 0, kb),
+                                      **common_specs))
         dkv_args.append(bias_r)
         dkv_kernel = functools.partial(
             _bwd_dkv_kernel, scale=scale, causal=causal, window=window,
@@ -878,7 +900,7 @@ def _bwd(scale, causal, window, residuals, g):
     # relative-position biases) come from a dedicated dS kernel
     dbias = None
     if bias is not None:
-        dbias = _compute_dbias(bias, q_r, k_r, v_r, mask_bh, bias_r, do_r,
+        dbias = _compute_dbias(bias, q_r, k_r, v_r, mask_bh, do_r,
                                lse_r, delta_r, B, H, group, Sq, Sk, D,
                                scale, causal, window)
     return dq, dk, dv, None, dbias

@@ -135,11 +135,15 @@ def check_pp_supported(model, dist_cfg):
 # ---------------------------------------------------------------------------
 
 def gpipe(layer_fn, stacked_params, x, shared, *, mesh: Mesh,
-          num_stages: int, microbatches: int, axis: str = "stage"):
+          num_stages: int, microbatches: int, axis: str = "stage",
+          fold_offset: int = 0):
     """Run ``x`` through the stacked layers, pipelined over ``axis``.
 
     layer_fn(one_layer_params, x, shared_mb, fold) -> x; ``fold`` is an int32
-    scalar unique per (tick, stage) for RNG folding.
+    scalar unique per (tick, stage, within-stage layer) for RNG folding —
+    without the layer index every layer of a stage would draw identical
+    dropout masks.  ``fold_offset`` disjoins the ranges of separate gpipe
+    calls (encoder vs decoder stacks).
     x: (B, T, E); shared: pytree of per-sample tensors with leading B (masks,
     biases, positions), indexed per microbatch.  Returns (B, T, E).
 
@@ -174,7 +178,9 @@ def gpipe(layer_fn, stacked_params, x, shared, *, mesh: Mesh,
             sh = jax.tree_util.tree_map(lambda a: a[mb_idx], shared_mb)
             for i in range(layers_per_stage):
                 lp = jax.tree_util.tree_map(lambda a: a[i], local_stack)
-                y = layer_fn(lp, y, sh, t * S + stage)
+                y = layer_fn(lp, y, sh,
+                             fold_offset
+                             + (t * S + stage) * layers_per_stage + i)
             # the last stage banks microbatch t-(S-1) once it is real
             out_idx = jnp.clip(t - (S - 1), 0, M - 1)
             valid = (stage == S - 1) & (t >= S - 1)
@@ -324,10 +330,13 @@ def make_pp_forward(model, mesh: Mesh, num_stages: int, microbatches: int):
             enc_shared = tuple(
                 s for s in (enc_mask4, enc_bias, enc_pos,
                             rng_rows(src_tokens.shape[0])) if s is not None)
+            # fold_offset=2**30 keeps encoder folds disjoint from the
+            # decoder gpipe's (offset 0) and below the prelude bases
             encoder_out = gpipe(enc_layer_fn, packed_params[ENC_STACK_KEY],
                                 x, enc_shared, mesh=mesh,
                                 num_stages=num_stages,
-                                microbatches=microbatches)
+                                microbatches=microbatches,
+                                fold_offset=2 ** 30)
             if cfg.encoder_prenorm:
                 encoder_out = make_norm(cfg, dtype).apply(
                     {"params": rest["encoder"]["final_norm"]}, encoder_out)

@@ -56,8 +56,17 @@ class NLLBTranslationTask(TranslationTask):
         if self.expert_index is not None:
             pair = f"{source_lang}-{target_lang}"
             experts = self.expert_index.get(pair)
-            assert experts is not None, \
-                f"no experts listed for language pair {pair}"
+            if experts is None:
+                # per-language index fallback (nllb_translation.py:52-59):
+                # encoder expert ids (<768) come from the source language,
+                # decoder expert ids (>=768) from the target language
+                src = self.expert_index.get(source_lang)
+                tgt = self.expert_index.get(target_lang)
+                assert src is not None and tgt is not None, \
+                    f"no experts listed for language pair {pair} (nor for " \
+                    f"{source_lang}/{target_lang} individually)"
+                experts = [i for i in src if int(i) < 768] + \
+                          [i for i in tgt if int(i) >= 768]
             return list(experts)
         if self.expert_ckpt:
             return list(self.expert_ckpt)

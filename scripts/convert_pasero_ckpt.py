@@ -153,16 +153,21 @@ def map_moe_params(sd: dict, flat: dict) -> None:
 
 
 def find_checkpoint_shards(path: str) -> list:
-    """All sibling shards of a `*_{i:03}_of_{n:03}.bin` checkpoint
-    (naming from pasero/utils.py:1472-1492)."""
+    """All sibling shards of a `*_{i:03}_of_{n:03}.bin` checkpoint.
+
+    The reference names shards 1-based: ``model_1000_001_of_004.bin`` ..
+    ``_004_of_004`` (pasero/utils.py:1613-1624 writes ``shard_id + 1`` and
+    asserts the given path is shard 001); mirror both behaviors."""
     m = re.fullmatch(r"(.*)_(\d{3})_of_(\d{3})(\.\w+)",
                      os.path.basename(path))
     if not m:
         return [path]
-    stem, _, total, ext = m.groups()
+    stem, first, total, ext = m.groups()
+    assert int(first) == 1, (
+        f"pass the first shard (_001_of_{total}), got _{first}_of_{total}")
     dirname = os.path.dirname(path)
     return [os.path.join(dirname, f"{stem}_{i:03}_of_{total}{ext}")
-            for i in range(int(total))]
+            for i in range(1, int(total) + 1)]
 
 
 def merge_expert_shards(states: list) -> dict:

@@ -149,12 +149,15 @@ def test_tutel_shard_merge_logit_parity(tmp_path):
             sd.update({k: torch.from_numpy(np.array(v))
                        for k, v in _tutel_format(site, one).items()})
         torch.save({"model": sd, "args": ckpt_args},
-                   tmp_path / f"model_10_{shard:03}_of_002.bin")
+                   tmp_path / f"model_10_{shard + 1:03}_of_002.bin")
 
+    # reference naming is 1-based (pasero/utils.py:1613-1624): 001..002
     assert len(find_checkpoint_shards(
-        str(tmp_path / "model_10_000_of_002.bin"))) == 2
+        str(tmp_path / "model_10_001_of_002.bin"))) == 2
+    with pytest.raises(AssertionError):
+        find_checkpoint_shards(str(tmp_path / "model_10_002_of_002.bin"))
     out_dir = tmp_path / "converted"
-    convert_main([str(tmp_path / "model_10_000_of_002.bin"),
+    convert_main([str(tmp_path / "model_10_001_of_002.bin"),
                   "-o", str(out_dir)])
 
     cfg = get_model_config_cls("moe_transformer")(
