@@ -36,8 +36,17 @@ class Interrupt(BaseException):
 
 
 def setup_logging(model_dir: str, log_file: str):
+    """Per-process log files on multi-host runs (the reference's
+    train.log.{rank}, utils.py:175-216); only process 0 logs to stdout."""
+    from pasero_tpu.parallel import bootstrap
     os.makedirs(model_dir, exist_ok=True)
-    handlers = [logging.StreamHandler()]
+    handlers = []
+    console = logging.StreamHandler()
+    if not bootstrap.is_master():
+        console.setLevel(logging.WARNING)
+        if log_file:
+            log_file = f"{log_file}.{bootstrap.process_index()}"
+    handlers.append(console)
     if log_file:
         handlers.append(logging.FileHandler(os.path.join(model_dir, log_file)))
     logging.basicConfig(
@@ -48,7 +57,10 @@ def setup_logging(model_dir: str, log_file: str):
 
 def save_config_files(cfg, task):
     """training.yaml dump + inference.yaml + config.json + tokenizer files
-    (cli/train.py:176-203, 670-675)."""
+    (cli/train.py:176-203, 670-675).  Multi-host: process 0 writes."""
+    from pasero_tpu.parallel import bootstrap
+    if not bootstrap.is_master():
+        return
     os.makedirs(cfg.model_dir, exist_ok=True)
     with open(os.path.join(cfg.model_dir, "training.yaml"), "w") as f:
         yaml.safe_dump(cfg.as_dict(), f, default_flow_style=False,
@@ -331,8 +343,10 @@ def run_training(cfg):
                     if best_score is None or is_better(metric, value, best_score):
                         best_score, best_step = value, step
                         from pasero_tpu.checkpoints import mark_best
-                        if os.path.exists(os.path.join(
-                                cfg.model_dir, f"model_{step}.npz")):
+                        from pasero_tpu.parallel import bootstrap
+                        if bootstrap.is_master() and os.path.exists(
+                                os.path.join(cfg.model_dir,
+                                             f"model_{step}.npz")):
                             mark_best(cfg.model_dir, step)
                         patience_left = cfg.patience
                     elif (cfg.patience is not None
@@ -362,6 +376,10 @@ def run_training(cfg):
 def main():
     from pasero_tpu.utils.platform import apply_platform_env
     apply_platform_env()
+    # multi-host topology (TPU pod / SLURM / PASERO_* env) — must run before
+    # any other jax use so jax.devices() spans the whole slice
+    from pasero_tpu.parallel import bootstrap
+    bootstrap.initialize()
     from pasero_tpu.config import TrainingConfig
     args = sys.argv[1:]
     while True:

@@ -55,6 +55,14 @@ class DistributedConfig(Config):
              "Parameters and optimizer states stay float32")
     seed: Optional[int] = argument(
         help="RNG seed (default: random). The input pipeline is seeded per host")
+    per_host_data: str = argument(
+        "replicated", choices=["replicated", "sharded"],
+        help="multi-host input mode (ignored single-process): 'replicated' — "
+             "every host builds the same global batches (shared filesystem, "
+             "same seed) and its devices pull their rows, exact "
+             "single-process semantics; 'sharded' — each host samples a "
+             "disjoint stream and contributes 1/num_processes of every "
+             "batch (fixed batch shapes, scales input I/O with the pod)")
     prng_impl: str = argument(
         "rbg", choices=["rbg", "unsafe_rbg", "threefry2x32"],
         help="device PRNG for dropout: the hardware rng_bit_generator ('rbg', "

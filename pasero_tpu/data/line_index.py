@@ -122,8 +122,12 @@ class LineIndex:
             index_dir = os.path.dirname(self.index_path)
             if index_dir:
                 os.makedirs(index_dir, exist_ok=True)
-            with open(self.index_path, "wb") as f:
+            # atomic write: multi-host runs may build the index concurrently
+            # on a shared filesystem; readers must never see a partial file
+            tmp = f"{self.index_path}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
                 pickle.dump(self.index, f)
+            os.replace(tmp, self.index_path)
             self.changed = False
         except OSError:
             logger.warning(f"could not save line index at {self.index_path}")

@@ -109,6 +109,21 @@ class TrainingDatasetBase:
         self.task = task
         self.corpora = corpora
         self.rng = rng or np.random.default_rng(dist_cfg.seed)
+        # multi-host 'sharded' input mode: this process samples a disjoint
+        # stream (its own seed) and emits 1/num_processes of every global
+        # batch, fixed-shape so all hosts agree without coordinating
+        # (replaces the reference's batch broadcast, utils.py:146-172)
+        self._host_shard = None
+        if getattr(dist_cfg, "per_host_data", "replicated") == "sharded":
+            from .parallel import bootstrap
+            n, i = bootstrap.process_count(), bootstrap.process_index()
+            if n > 1:
+                self._host_shard = (i, n)
+                self.rng = np.random.default_rng(
+                    (dist_cfg.seed or 0) + 1000003 * i)
+                logger.info(f"per-host data shard {i}/{n}: fixed-shape "
+                            f"batches, local token budget "
+                            f"{task.cfg.batch_size // n}")
         self.metrics = Metrics(window=None)
         # pipeline statistics, read by the telemetry thread
         self.skipped = 0
@@ -185,6 +200,9 @@ class TrainingDatasetBase:
             buffer = []
 
     def _flush(self, buffer: list) -> Iterator[dict]:
+        if self._host_shard is not None:
+            yield from self._flush_fixed_shape(buffer)
+            return
         groups: dict = {}
         for sample in buffer:
             groups.setdefault(batch_sort_key(self.cfg.batch_by, sample),
@@ -200,6 +218,41 @@ class TrainingDatasetBase:
         for i in order:
             batch = self.task.collate(all_batches[i])
             if batch is not None:
+                yield batch
+
+    def _fixed_rows(self) -> int:
+        """Rows per host-local batch in 'sharded' mode: the local token
+        budget at the maximum padded length, a multiple of 8."""
+        task = self.task
+        _, n = self._host_shard
+        max_len = task.cfg_max_target_len()
+        if task.model_type == "encoder_decoder":
+            max_len = max(max_len, task.cfg_max_source_len())
+        rows = (task.cfg.batch_size // n) // max_len
+        return max(8, rows // 8 * 8)
+
+    def _flush_fixed_shape(self, buffer: list) -> Iterator[dict]:
+        """Fixed-shape local batches for the multi-host 'sharded' mode:
+        constant row count, every sequence padded to the max bucket.
+        Incomplete tail chunks are dropped (bounded waste per flush)."""
+        rows = self._fixed_rows()
+        groups: dict = {}
+        for sample in buffer:
+            groups.setdefault(batch_sort_key(self.cfg.batch_by, sample),
+                              []).append(sample)
+        chunks = []
+        for group in groups.values():
+            order = (self.rng.permutation(len(group)) if self.cfg.shuffle
+                     else np.arange(len(group)))
+            for start in range(0, len(group) - rows + 1, rows):
+                chunks.append([group[i] for i in order[start:start + rows]])
+        if self.cfg.shuffle:
+            self.rng.shuffle(chunks)
+        for chunk in chunks:
+            batch = self.task.collate(chunk, rows_multiple=rows,
+                                      fixed_len=True)
+            if batch is not None:
+                batch["_local_rows"] = True
                 yield batch
 
     def endless_iterator(self) -> Iterator[dict]:

@@ -1,7 +1,10 @@
 """Evaluation metrics and corpus filtering (pasero/evaluation.py).
 
-BLEU/spBLEU/chrF/chrF++/len_ratio via sacrebleu; WER implemented here (the
-reference uses jiwer, absent from the TPU image); langid gated on fasttext.
+BLEU/spBLEU/chrF/chrF++ via sacrebleu when installed, else the native
+sacrebleu-exact implementations in metrics_text.py (the reference hard
+-depends on sacrebleu, evaluation.py:17,252-302 — quality scores here work
+on any image); len_ratio/WER native (the reference uses jiwer); langid
+gated on fasttext.
 """
 
 from __future__ import annotations
@@ -29,37 +32,75 @@ def default_bleu_tokenizer(lang: Optional[str]) -> str:
     return "13a"
 
 
+def _sacrebleu():
+    """The sacrebleu package if importable, else None (the native
+    implementations in metrics_text.py take over). PASERO_NATIVE_METRICS=1
+    forces the native path (used by the parity tests and for images where
+    a broken sacrebleu install shadows the name)."""
+    if os.environ.get("PASERO_NATIVE_METRICS"):
+        return None
+    try:
+        import sacrebleu
+        return sacrebleu
+    except ImportError:
+        return None
+
+
+def _spbleu(hypotheses: list, references: list) -> float:
+    """spBLEU: BLEU over flores SPM pieces. Tries sacrebleu's flores200
+    tokenizer, then the native scorer with a local SPM model
+    (FLORES200_SPM_PATH); degrades to BLEU-intl with a loud warning if
+    neither is possible (the NLLB baseline tables are written in spBLEU,
+    examples/NLLB-200/README.md)."""
+    sb = _sacrebleu()
+    if sb is not None:
+        try:
+            return sb.corpus_bleu(hypotheses, [references],
+                                  tokenize="flores200").score
+        except Exception as e:
+            first_error = e
+    else:
+        first_error = ImportError("sacrebleu not installed")
+    spm_path = os.environ.get("FLORES200_SPM_PATH")
+    if spm_path and os.path.exists(spm_path):
+        try:
+            from .metrics_text import corpus_spbleu
+            return corpus_spbleu(hypotheses, [references], spm_path)
+        except Exception as e:
+            first_error = e
+    _warn_spbleu_fallback(first_error)
+    return score("bleu", hypotheses, references, bleu_tok="intl")
+
+
 def score(metric: str, hypotheses: list, references: list,
           sources: Optional[list] = None, lang: Optional[str] = None,
           bleu_tok: Optional[str] = None, lowercase: bool = False) -> float:
-    import sacrebleu
+    from . import metrics_text
 
     if lowercase:
         hypotheses = [h.lower() for h in hypotheses]
         references = [r.lower() for r in references]
+    sb = _sacrebleu()
 
     if metric == "bleu":
         tok = bleu_tok or default_bleu_tokenizer(lang)
-        return sacrebleu.corpus_bleu(hypotheses, [references],
-                                     tokenize=tok).score
+        if sb is not None:
+            return sb.corpus_bleu(hypotheses, [references],
+                                  tokenize=tok).score
+        return metrics_text.corpus_bleu(hypotheses, [references],
+                                        tokenizer=tok)
     if metric == "spbleu":
-        # flores200 tokenization needs the sentencepiece package + the
-        # downloaded flores200 SPM model; when either is missing (as on the
-        # TPU image), degrade to BLEU-intl with a loud warning instead of
-        # silently dropping the metric (the NLLB baseline tables are written
-        # in spBLEU, examples/NLLB-200/README.md)
-        try:
-            return sacrebleu.corpus_bleu(hypotheses, [references],
-                                         tokenize="flores200").score
-        except Exception as e:
-            _warn_spbleu_fallback(e)
-            return sacrebleu.corpus_bleu(hypotheses, [references],
-                                         tokenize="intl").score
+        return _spbleu(hypotheses, references)
     if metric == "chrf":
-        return sacrebleu.corpus_chrf(hypotheses, [references]).score
+        if sb is not None:
+            return sb.corpus_chrf(hypotheses, [references]).score
+        return metrics_text.corpus_chrf(hypotheses, [references])
     if metric == "chrf++":
-        return sacrebleu.corpus_chrf(hypotheses, [references],
-                                     word_order=2).score
+        if sb is not None:
+            return sb.corpus_chrf(hypotheses, [references],
+                                  word_order=2).score
+        return metrics_text.corpus_chrf(hypotheses, [references],
+                                        word_order=2)
     if metric == "len_ratio":
         hyp_len = sum(len(h.split()) for h in hypotheses)
         ref_len = sum(len(r.split()) for r in references)
@@ -71,14 +112,29 @@ def score(metric: str, hypotheses: list, references: list,
     raise ValueError(f"unknown metric {metric!r}")
 
 
+_UNAVAILABLE_WARNED: set = set()
+
+
 def safe_score(metric: str, hypotheses: list, references: list,
                **kwargs) -> Optional[float]:
+    """Score, or None — never raises into a decoding/validation run.
+
+    'None' is reserved for *inapplicable* situations (no references, langid
+    without a model).  A metric whose computation *fails* logs a loud
+    once-per-metric warning so a quality-regression gate reading None knows
+    the metric was unavailable rather than silently passing
+    (reference behavior: pasero/evaluation.py safe_score swallows all)."""
     try:
         if not hypotheses or (metric != "langid" and not references):
             return None
         return round(score(metric, hypotheses, references, **kwargs), 2)
     except Exception as e:  # scoring must never kill a decoding run
-        logger.warning(f"failed to compute {metric}: {e}")
+        if metric not in _UNAVAILABLE_WARNED:
+            _UNAVAILABLE_WARNED.add(metric)
+            logger.error(
+                f"metric {metric!r} is UNAVAILABLE in this environment "
+                f"({type(e).__name__}: {e}); its scores will be reported as "
+                "None and cannot gate expected_scores regressions")
         return None
 
 

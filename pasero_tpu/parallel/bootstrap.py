@@ -116,30 +116,68 @@ def barrier(name: str = "barrier") -> None:
     multihost_utils.sync_global_devices(name)
 
 
-def host_local_batch_to_global(batch: dict, mesh, data_spec):
-    """Stitch per-process batch rows into global arrays sharded over the
-    mesh (the reference instead broadcasts whole batches between ranks,
-    utils.py:146-172 — on a pod the input pipeline is per-host and only
-    array metadata crosses hosts).
+def global_array_from_full(x, mesh, spec):
+    """Host array (identical on every process) -> global jax.Array sharded
+    by ``spec``.  Each device pulls exactly its slice via a callback, so
+    this is correct for any spec (data-sharded batches, replicated adapter
+    ids) regardless of how the mesh axes map to processes.
 
-    Each process passes its local rows (global_rows / num_processes of
-    them, identical shapes across processes); returns the global jax
-    Arrays.  Single-process: a plain device_put.
+    This is the 'replicated' input mode: every host builds the same global
+    batch (same seed, same files) and keeps only its devices' rows —
+    bucketed batch shapes then agree across hosts by construction, at the
+    cost of duplicated host-side preprocessing.  Single-process: a plain
+    device_put.
     """
     import jax
+    import numpy as np
     from jax.sharding import NamedSharding
 
+    sharding = NamedSharding(mesh, spec)
     if not is_multiprocess():
-        return {k: jax.device_put(v, NamedSharding(mesh, data_spec))
-                for k, v in batch.items()}
-    n = process_count()
-    out = {}
-    for k, v in batch.items():
-        sharding = NamedSharding(mesh, data_spec)
-        global_shape = (v.shape[0] * n,) + tuple(v.shape[1:])
-        out[k] = jax.make_array_from_process_local_data(
-            sharding, v, global_shape)
-    return out
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding,
+                                        lambda idx: x[idx])
+
+
+def global_array_from_local_rows(x, mesh, spec):
+    """Per-process batch rows -> global jax.Array sharded over the data
+    axis (``jax.make_array_from_process_local_data``).
+
+    This is the 'sharded' input mode: each host's pipeline produces
+    global_rows / num_processes rows of its own (disjoint sampling
+    streams), and only array metadata crosses hosts — the reference
+    instead broadcasts whole batches between ranks (utils.py:146-172).
+    Row order across processes is arbitrary, which is fine for training
+    (SGD is row-permutation invariant); batch shapes must be fixed so
+    every host emits the same shape each step.
+    """
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, spec)
+    if not is_multiprocess():
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    global_shape = (x.shape[0] * process_count(),) + tuple(x.shape[1:])
+    return jax.make_array_from_process_local_data(sharding, x, global_shape)
+
+
+def replicated_scalar(value, mesh, dtype=None):
+    """A fully-replicated global scalar (e.g. the step counter).
+
+    In multi-process runs every array entering a global jitted computation
+    must live on the global device set; a plain ``jnp.asarray`` scalar is
+    single-device local and would make XLA reject the mixed computation.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    make = jax.jit(lambda: jnp.asarray(value, dtype),
+                   out_shardings=NamedSharding(mesh, P()))
+    return make()
 
 
 def replicate_to_host(tree, mesh):

@@ -223,14 +223,25 @@ class Task:
 
     def collate(self, samples: list, max_source_len: Optional[int] = None,
                 max_target_len: Optional[int] = None,
-                rows_multiple: int = 8, pad_to_fixed: bool = True) -> Optional[dict]:
-        """Pad a list of preprocessed samples into a bucketed batch."""
+                rows_multiple: int = 8, pad_to_fixed: bool = True,
+                fixed_len: bool = False) -> Optional[dict]:
+        """Pad a list of preprocessed samples into a bucketed batch.
+
+        ``fixed_len`` pads every batch to the single maximum bucket
+        (multi-host 'sharded' input mode: all hosts must emit identical
+        shapes each step without coordinating)."""
         if not samples:
             return None
         pad = self.padding_idx
         mult = getattr(self, "length_multiple", 1)
-        tgt_bucket = length_buckets(max_target_len or self.cfg_max_target_len(),
-                                    multiple=mult) if pad_to_fixed else None
+        if fixed_len:
+            tgt_bucket = [-(-(max_target_len or self.cfg_max_target_len())
+                            // mult) * mult]
+        elif pad_to_fixed:
+            tgt_bucket = length_buckets(
+                max_target_len or self.cfg_max_target_len(), multiple=mult)
+        else:
+            tgt_bucket = None
 
         dec = [s["decoder_input"] for s in samples]
         if not pad_to_fixed:
@@ -260,10 +271,14 @@ class Task:
 
         if self.model_type == "encoder_decoder":
             enc = [s["encoder_input"] for s in samples]
-            src_bucket = length_buckets(
-                max_source_len or self.cfg_max_source_len(),
-                multiple=mult) if pad_to_fixed \
-                else [-(-max(len(e) for e in enc) // mult) * mult]
+            if fixed_len:
+                src_bucket = [-(-(max_source_len or self.cfg_max_source_len())
+                                // mult) * mult]
+            elif pad_to_fixed:
+                src_bucket = length_buckets(
+                    max_source_len or self.cfg_max_source_len(), multiple=mult)
+            else:
+                src_bucket = [-(-max(len(e) for e in enc) // mult) * mult]
             is_features = enc[0].ndim > 1
             src_tokens, src_mask = pad_to_bucket(
                 enc, src_bucket, 0.0 if is_features else pad,

@@ -32,6 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .. import checkpoints
 from ..optimization import (global_norm, lr_schedule_from_config,
                             make_optimizer, trainable_mask)
+from ..parallel import bootstrap
 from ..parallel.sharding import LOGICAL_RULES, fsdp_rules
 from ..utils.metrics import Metrics
 
@@ -80,6 +81,9 @@ class Trainer:
         impl = getattr(cfg, "prng_impl", None)
         if impl:
             jax.config.update("jax_default_prng_impl", impl)
+        # every process seeds identically: the dropout key entering the
+        # global SPMD step must be the same on all hosts
+        self.multiprocess = bootstrap.is_multiprocess()
         self.rng = jax.random.PRNGKey(cfg.seed or 0)
         self._checkpointer = checkpoints.AsyncCheckpointer()
         if getattr(cfg, "benchmark", False):
@@ -192,7 +196,9 @@ class Trainer:
         self.schedule = lr_schedule_from_config(self.cfg)
         with self.mesh:
             opt_state = jax.jit(self.tx.init)(self.params)
-        self.state = TrainState(step=jnp.zeros((), jnp.int32),
+        step0 = (bootstrap.replicated_scalar(0, self.mesh, jnp.int32)
+                 if self.multiprocess else jnp.zeros((), jnp.int32))
+        self.state = TrainState(step=step0,
                                 params=self.params, opt_state=opt_state)
         del self.params
 
@@ -240,7 +246,9 @@ class Trainer:
             state_meta = checkpoints.load_state(cfg.model_dir, tag or step)
             if state_meta.get("metrics"):
                 self.metrics.load_state_dict(state_meta["metrics"])
-            self.state = self.state.replace(step=jnp.asarray(step, jnp.int32))
+            step_arr = (bootstrap.replicated_scalar(step, self.mesh, jnp.int32)
+                        if self.multiprocess else jnp.asarray(step, jnp.int32))
+            self.state = self.state.replace(step=step_arr)
             self.loaded_step = step
             logger.info(f"resumed at step {step}")
         if is_latest:
@@ -357,14 +365,38 @@ class Trainer:
     @property
     def named_params(self):
         """Current parameters in the named (checkpoint) layout — with
-        --pp-size the train state holds the stage-stacked layout instead."""
+        --pp-size the train state holds the stage-stacked layout instead.
+        Multi-process: gathers to host numpy (a collective; every process
+        must read this property together, e.g. during validation)."""
+        params = self.state.params
+        if self.multiprocess:
+            params = bootstrap.replicate_to_host(params, self.mesh)
         if self.pp_size > 1:
             from ..parallel import pipeline as pp
-            return pp.unpack_pp_params(jax.device_get(self.state.params))
-        return self.state.params
+            return pp.unpack_pp_params(jax.device_get(params))
+        return params
 
     def _device_batch(self, batch: dict) -> dict:
-        spec = NamedSharding(self.mesh, P("data"))
+        """Host batch -> mesh-sharded device arrays.
+
+        Multi-process: batches either carry this process's rows only
+        (``_local_rows``, the sharded per-host pipeline) and are stitched
+        with make_array_from_process_local_data, or are identical global
+        batches on every host (validation, replicated mode) from which
+        each device pulls its slice.
+        """
+        if self.multiprocess:
+            to_data = (bootstrap.global_array_from_local_rows
+                       if batch.get("_local_rows")
+                       else bootstrap.global_array_from_full)
+            put_data = lambda v: to_data(v, self.mesh, P("data"))
+            put_repl = lambda v: bootstrap.global_array_from_full(
+                v, self.mesh, P())
+        else:
+            put_data = lambda v: jax.device_put(
+                v, NamedSharding(self.mesh, P("data")))
+            put_repl = lambda v: jax.device_put(
+                v, NamedSharding(self.mesh, P()))
         if self.pp_size > 1:
             # rows must split into pp_microbatches x data shards; the extra
             # all-pad rows carry zero loss weight (target_mask False)
@@ -387,23 +419,22 @@ class Trainer:
         for k in ("decoder_input", "target_mask", "prompt_mask",
                   "src_tokens", "src_mask"):
             if k in batch:
-                out[k] = jax.device_put(batch[k], spec)
+                out[k] = put_data(batch[k])
         # per-batch adapter activation from homogeneous-batch metadata
         # (pasero/models/adapters.py:185-229)
         meta = batch.get("meta", {})
         info = self.adapter_info
         from ..models.adapters import adapter_ids_from_meta
-        repl = NamedSharding(self.mesh, P())
         if self.model.num_encoder_adapters:
             ids = adapter_ids_from_meta(info.get("encoder_names", []),
                                         info.get("encoder_by", []), meta)
-            out["encoder_adapter_ids"] = jax.device_put(
-                np.asarray(ids or [0], np.int32), repl)
+            out["encoder_adapter_ids"] = put_repl(
+                np.asarray(ids or [0], np.int32))
         if self.model.num_decoder_adapters:
             ids = adapter_ids_from_meta(info.get("decoder_names", []),
                                         info.get("decoder_by", []), meta)
-            out["decoder_adapter_ids"] = jax.device_put(
-                np.asarray(ids or [0], np.int32), repl)
+            out["decoder_adapter_ids"] = put_repl(
+                np.asarray(ids or [0], np.int32))
         return out
 
     def train_step(self, batch_iterator) -> dict:
@@ -479,12 +510,25 @@ class Trainer:
         step, extra = self.step, {"metrics": self.metrics.state_dict()}
         # model_latest carries the optimizer too (optimizer_latest.npz), so a
         # requeued run resumes with full train state (utils.py:1505-1535)
-        opt_flat = checkpoints.flatten_tree(
-            jax.device_get(self.state.opt_state))
-        params_host = jax.device_get(self.state.params)
+        if self.multiprocess:
+            # the all-gather to host is a collective every process joins;
+            # only process 0 then writes (reference: rank-0 save + barrier)
+            opt_host = bootstrap.replicate_to_host(self.state.opt_state,
+                                                   self.mesh)
+            params_host = bootstrap.replicate_to_host(self.state.params,
+                                                      self.mesh)
+        else:
+            opt_host = jax.device_get(self.state.opt_state)
+            params_host = jax.device_get(self.state.params)
+        opt_flat = checkpoints.flatten_tree(opt_host)
         if self.pp_size > 1:  # on-disk format is the named layers_i layout
             from ..parallel import pipeline as pp
             params_host = pp.unpack_pp_params(params_host)
+
+        path = os.path.join(cfg.model_dir, f"{name or f'model_{step}'}.npz")
+        if self.multiprocess and not bootstrap.is_master():
+            bootstrap.barrier("checkpoint")
+            return path
 
         def write():
             return checkpoints.save_checkpoint(
@@ -494,15 +538,22 @@ class Trainer:
 
         if blocking:
             self._checkpointer.wait()
-            return write()
+            result = write()
+            if self.multiprocess:
+                bootstrap.barrier("checkpoint")
+            return result
         self._checkpointer.submit(write)
-        return os.path.join(cfg.model_dir, f"{name or f'model_{step}'}.npz")
+        if self.multiprocess:
+            bootstrap.barrier("checkpoint")
+        return path
 
     def cleanup(self, best_step: Optional[int] = None):
         # don't join an in-flight async write (that would make --async-save
         # fully blocking); GC only matches model_{step}.npz files that already
         # exist, never the one being written. Surface any stored write error.
         self._checkpointer.check()
+        if self.multiprocess and not bootstrap.is_master():
+            return
         checkpoints.cleanup_checkpoints(
             self.cfg.model_dir, keep_last=self.cfg.keep_last,
             keep_interval=self.cfg.keep_interval, best_step=best_step)

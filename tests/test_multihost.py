@@ -1,0 +1,185 @@
+"""Multi-host (multi-process) runtime tests.
+
+The reference runs multi-node via NCCL process groups
+(pasero/cli/train.py:81-87, utils.py:1361-1432); the TPU-native equivalent
+is `jax.distributed.initialize` + one global GSPMD mesh
+(pasero_tpu/parallel/bootstrap.py).  JAX supports multi-process *CPU*
+clusters, so a 2-process x 4-virtual-device topology verifies the whole
+path — bootstrap, global mesh, per-host input, process-0 checkpointing —
+without pod hardware (SURVEY.md §4 multi-host simulation).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "_multihost_worker.py")
+
+
+def free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def clean_env():
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith("PASERO_")}
+    env["PYTHONPATH"] = REPO
+    # the workers set their own XLA device-count flag
+    env.pop("XLA_FLAGS", None)
+    return env
+
+
+def launch_pair(mode, workdir, extra_args=(), timeout=900):
+    """Run both processes of the 2-process cluster; return their results."""
+    port = free_port()
+    outs = [os.path.join(workdir, f"out{i}.json") for i in range(2)]
+    procs = []
+    for i in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, WORKER, mode, str(port), str(i), outs[i],
+             *extra_args],
+            cwd=workdir, env=clean_env(),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(out)
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, \
+            f"worker {i} failed (rc={p.returncode}):\n{logs[i][-3000:]}"
+    results = []
+    for path in outs:
+        with open(path) as f:
+            results.append(json.load(f))
+    return results, logs
+
+
+@pytest.mark.slow
+def test_bootstrap_helpers_two_processes(tmp_path):
+    """Global arrays from full/local host data, replicated scalars and the
+    host gather all agree across a real 2-process cluster."""
+    results, _ = launch_pair("helpers", str(tmp_path), timeout=600)
+    for r in results:
+        assert r["full_sum"] == 120.0
+        assert r["local_sum"] == 856.0   # both processes' rows made it in
+        assert r["step"] == 7
+        assert r["host_a_sum"] == 120.0
+        assert r["host_b"] == 7
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("multihost")
+    words = {"der": "the", "hund": "dog", "springt": "jumps",
+             "katze": "cat", "läuft": "runs"}
+    import random
+    rng = random.Random(0)
+    pairs = []
+    for _ in range(300):
+        src = [rng.choice(list(words)) for _ in range(rng.randint(2, 5))]
+        pairs.append((" ".join(src), " ".join(words[w] for w in src)))
+    for name, rows in [("train", pairs[:280]), ("valid", pairs[280:])]:
+        (d / f"{name}.de").write_text("\n".join(s for s, _ in rows) + "\n")
+        (d / f"{name}.en").write_text("\n".join(t for _, t in rows) + "\n")
+    env = clean_env()
+    env["JAX_PLATFORMS"] = "cpu"
+    subprocess.run(
+        [sys.executable, "-m", "cli.tokenizer_cli", "build-tokenizer",
+         "train.de", "train.en", "-o", "bpecodes", "--size", "60",
+         "--dict-path", "dict.txt", "--dict-min-count", "1",
+         "--dict-padding-factor", "1"],
+        cwd=str(d), env=env, check=True, capture_output=True, timeout=300)
+    return str(d)
+
+
+TRAIN_ARGS = ["--data-dir", ".", "-s", "de", "-t", "en",
+              "--arch", "transformer_small", "--encoder-layers", "1",
+              "--decoder-layers", "1", "--embed-dim", "32",
+              "--encoder-ffn-dim", "64", "--decoder-ffn-dim", "64",
+              "--encoder-attention-heads", "2",
+              "--decoder-attention-heads", "2", "--max-steps", "3",
+              "--valid-interval", "3", "--buffer-size", "2000",
+              "--log-interval", "1", "--batch-size", "512", "--lr", "0.003",
+              "--warmup", "10", "--seed", "1", "--dataset-type", "debug",
+              "--dropout", "0", "--label-smoothing", "0"]
+
+
+def parse_losses(text: str) -> dict:
+    out = {}
+    for line in text.splitlines():
+        if "| loss " in line and "step" in line:
+            try:
+                step = int(line.split("step", 1)[1].split("|")[0])
+                loss = float(line.split("| loss", 1)[1].split("|")[0])
+                out[step] = loss
+            except (ValueError, IndexError):
+                pass
+    return out
+
+
+@pytest.mark.slow
+def test_two_process_training_matches_single(corpus_dir):
+    """One dp8 training step computed by 2 processes x 4 devices matches the
+    single-process 8-device run: same global mesh, same batches (replicated
+    per-host input), same losses; process 0 writes the only checkpoint."""
+    env = clean_env()
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    single = subprocess.run(
+        [sys.executable, "-m", "cli.train", "-o", "model_single",
+         *TRAIN_ARGS],
+        cwd=corpus_dir, env=env, capture_output=True, text=True, timeout=900)
+    assert single.returncode == 0, single.stdout[-3000:] + single.stderr[-3000:]
+    ref_losses = parse_losses(single.stdout + single.stderr)
+    assert ref_losses, "no loss lines in single-process run"
+
+    _, logs = launch_pair(
+        "train", corpus_dir,
+        extra_args=["-o", "model_multi", *TRAIN_ARGS], timeout=900)
+    multi_losses = parse_losses(logs[0])
+    assert multi_losses, f"no loss lines in process-0 log:\n{logs[0][-3000:]}"
+
+    for step, ref in ref_losses.items():
+        assert step in multi_losses
+        assert abs(multi_losses[step] - ref) < 2e-3, \
+            f"step {step}: multi {multi_losses[step]} vs single {ref}"
+
+    # process 0 wrote the checkpoint + config files; process 1 wrote nothing
+    mdir = os.path.join(corpus_dir, "model_multi")
+    assert os.path.exists(os.path.join(mdir, "model_3.npz"))
+    assert os.path.exists(os.path.join(mdir, "training.yaml"))
+    # non-master logged to its own per-rank file
+    assert os.path.exists(os.path.join(mdir, "train.log.1"))
+
+
+@pytest.mark.slow
+def test_two_process_sharded_input_pipeline(corpus_dir):
+    """The 'sharded' per-host input mode: each host samples a disjoint
+    stream and contributes half of every fixed-shape batch."""
+    _, logs = launch_pair(
+        "train", corpus_dir,
+        extra_args=["-o", "model_sharded", *TRAIN_ARGS,
+                    "--per-host-data", "sharded", "--max-target-len", "16",
+                    "--max-source-len", "16"],
+        timeout=900)
+    losses = parse_losses(logs[0])
+    assert losses, f"no loss lines:\n{logs[0][-3000:]}"
+    import math
+    assert all(math.isfinite(v) for v in losses.values())
+    assert "per-host data shard" in logs[0] + logs[1]
+    assert os.path.exists(
+        os.path.join(corpus_dir, "model_sharded", "model_3.npz"))
