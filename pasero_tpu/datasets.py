@@ -296,8 +296,14 @@ class DynamicTrainingDataset(TrainingDatasetBase):
         import os
         workers = getattr(self.cfg, "num_workers", 0) or 0
         # worker processes only help when there are spare cores; on small
-        # hosts fall back to inline preprocessing (saves the IPC overhead)
-        workers = min(workers, max((os.cpu_count() or 1) - 1, 0))
+        # hosts fall back to inline preprocessing (saves the IPC overhead).
+        # PASERO_FORCE_WORKERS bypasses the clamp (tests prove the pool's
+        # order preservation and shutdown even on a 1-core host)
+        forced = os.environ.get("PASERO_FORCE_WORKERS")
+        if forced:
+            workers = int(forced)
+        else:
+            workers = min(workers, max((os.cpu_count() or 1) - 1, 0))
         if workers <= 0:
             yield from super()._sample_stream()
             return

@@ -35,24 +35,6 @@ Dtype = Any
 
 NEG_INF = -1e9  # large finite value: safe for padded rows (softmax of all -1e9 is uniform, masked later)
 
-_RING_DROPOUT_WARNED = False
-
-
-def _warn_ring_dropout():
-    """Ring attention (--cp-size) cannot apply attention dropout — the
-    blockwise online-softmax accumulation has no per-weight dropout hook.
-    Warn once instead of silently diverging from the configured
-    regularization; residual/FFN dropout still applies."""
-    global _RING_DROPOUT_WARNED
-    if not _RING_DROPOUT_WARNED:
-        _RING_DROPOUT_WARNED = True
-        import logging
-        logging.getLogger("models").warning(
-            "attention_dropout > 0 is ignored with --cp-size (ring attention "
-            "has no attention-dropout path); residual/activation dropout "
-            "still applies")
-
-
 def lineage_attention(q, k_cache, v_cache, lineage, mask=None, bias=None,
                       scale=1.0):
     """Beam-search decode attention WITHOUT cache reordering.
@@ -225,13 +207,19 @@ class MultiheadAttention(nn.Module):
         use_ring = (self.kernel == "ring" and not decode
                     and not return_weights and not self.cross_attention)
         if use_ring:
+            ring_dropout_rng = None
             if self.dropout > 0 and not deterministic:
-                _warn_ring_dropout()  # ring has no attention-dropout path
+                # per-(q-block, k-block) keyed dropout inside the ring step
+                # (ops/ring_attention.py) — matches single-device
+                # dropout(softmax) semantics in distribution
+                ring_dropout_rng = self.make_rng("dropout")
             from ..parallel.context import ring_self_attention
             kv_mask = mask[:, 0, 0, :] if mask is not None else None
             out = ring_self_attention(q, k, v, kv_mask=kv_mask, bias=bias,
                                       scale=scale, causal=self.causal,
-                                      window=self.sliding_window)
+                                      window=self.sliding_window,
+                                      dropout_rate=self.dropout,
+                                      dropout_rng=ring_dropout_rng)
             out = out.transpose(0, 2, 1, 3).reshape(B, Sq, num_heads * head_dim)
             out = Linear(embed_dim, use_bias=self.use_bias, dtype=self.dtype,
                          kernel_axes=("heads", "embed"), name="out_proj")(out)

@@ -40,12 +40,20 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
-@functools.partial(jax.checkpoint, static_argnums=(7, 8, 9))
-def _block(q, k, v, kv_mask, bias_blk, q_pos, k_pos, scale, causal, window):
+@functools.partial(jax.checkpoint, static_argnums=(7, 8, 9, 10))
+def _block(q, k, v, kv_mask, bias_blk, q_pos, k_pos, scale, causal, window,
+           dropout_rate=0.0, dropout_rng=None):
     """Unnormalized attention of the local Q block against one K/V block.
 
     Returns (acc, m, l): acc = sum_j p_ij v_j with p = exp(s - m), row max m,
     row sum l — the flash-attention partial triple for later merging.
+
+    Attention dropout (``dropout_rate`` with a per-(q-block, k-block) keyed
+    ``dropout_rng``) is applied to the p @ V accumulation only, NOT to the
+    row sum l: single-device attention dropout acts on the *normalized*
+    softmax weights (dropout(softmax(s)) @ V), so the denominator must stay
+    undropped for the merged ring result to match it exactly in
+    distribution.
     """
     H, Hkv = q.shape[1], k.shape[1]
     if Hkv != H:
@@ -69,19 +77,30 @@ def _block(q, k, v, kv_mask, bias_blk, q_pos, k_pos, scale, causal, window):
     # rows with no valid key: make p exactly 0 so they contribute nothing
     p = jnp.where(ok, p, 0.0)
     l = jnp.sum(p, axis=-1)
+    if dropout_rate and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, p.shape)
+        p = p * keep / (1.0 - dropout_rate)
     acc = jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
     return acc, m, l
 
 
 def ring_attention(q, k, v, kv_mask=None, bias=None, scale: float = 1.0,
                    causal: bool = False, window: Optional[int] = None,
-                   axis_name: str = "seq"):
+                   axis_name: str = "seq", dropout_rate: float = 0.0,
+                   dropout_rng=None):
     """Exact attention with K/V rotated around the `axis_name` ring.
 
     Must be called inside shard_map/pmap with `axis_name` bound. `bias`, if
     given, is the FULL-width additive bias for the local queries, shape
     broadcastable to (B, H, S_q_local, S_kv_global) — it is sliced per ring
     step (biases are cheap to materialize per q shard; K/V are not).
+
+    ``dropout_rate``/``dropout_rng`` apply attention-weight dropout: the
+    key is folded on the (query-shard, key-shard) pair, so every block of
+    the virtual (S, S) weight matrix draws an independent mask exactly
+    once regardless of ring size — equivalent in distribution to
+    single-device dropout(softmax(s)) @ V (the reference's training
+    regularization, modules.py attention_dropout).
     """
     n = jax.lax.psum(1, axis_name)
     idx = jax.lax.axis_index(axis_name)
@@ -103,6 +122,8 @@ def ring_attention(q, k, v, kv_mask=None, bias=None, scale: float = 1.0,
         vma = getattr(jax.typeof(x), "vma", frozenset())
         return x if axis_name in vma else jax.lax.pvary(x, axis_name)
     kv_mask, m0, l0, acc0 = (_vary(x) for x in (kv_mask, m0, l0, acc0))
+    if dropout_rng is not None:
+        dropout_rng = _vary(dropout_rng)  # folded with the varying shard id
     perm = [(j, (j + 1) % n) for j in range(n)]
 
     def step(carry, i):
@@ -114,8 +135,12 @@ def ring_attention(q, k, v, kv_mask=None, bias=None, scale: float = 1.0,
             bias_blk = jax.lax.dynamic_slice_in_dim(
                 jnp.broadcast_to(bias, bias.shape[:-1] + (n * Sk,)),
                 src * Sk, Sk, axis=-1)
+        blk_rng = None
+        if dropout_rate and dropout_rng is not None:
+            blk_rng = jax.random.fold_in(dropout_rng, idx * n + src)
         acc_i, m_i, l_i = _block(q, k_blk, v_blk, mask_blk, bias_blk,
-                                 q_pos, k_pos, scale, causal, window)
+                                 q_pos, k_pos, scale, causal, window,
+                                 dropout_rate, blk_rng)
         m_new = jnp.maximum(m, m_i)
         a = jnp.exp(m - m_new)
         b = jnp.exp(m_i - m_new)
@@ -173,7 +198,8 @@ def _merge(acc, m, l, acc_i, m_i, l_i):
 
 
 def zigzag_ring_attention(q, k, v, kv_mask=None, scale: float = 1.0,
-                          window=None, axis_name: str = "seq"):
+                          window=None, axis_name: str = "seq",
+                          dropout_rate: float = 0.0, dropout_rng=None):
     """Causal ring attention over zigzag-laid-out sequence shards.
 
     Inputs are the PERMUTED shards (zigzag_indices applied to the sequence
@@ -193,9 +219,15 @@ def zigzag_ring_attention(q, k, v, kv_mask=None, scale: float = 1.0,
     q_h, q_t = q[:, :, :C], q[:, :, C:]
     qh_pos, qt_pos = _zig_positions(idx, n, C)
 
-    def stats(qc, kc, vc, mask_c, q_pos, k_pos):
+    def stats(qc, kc, vc, mask_c, q_pos, k_pos, q_chunk, k_chunk):
+        # dropout key per (global q chunk, global k chunk) pair: each block
+        # of the virtual (S, S) weight matrix draws its mask exactly once
+        blk_rng = None
+        if dropout_rate and dropout_rng is not None:
+            blk_rng = jax.random.fold_in(dropout_rng,
+                                         q_chunk * 2 * n + k_chunk)
         return _block(qc, kc, vc, mask_c, None, q_pos, k_pos, scale, True,
-                      window)
+                      window, dropout_rate, blk_rng)
 
     init = (_zero_stats(B, H, C, D), _zero_stats(B, H, C, D))
     carry0 = (k, v, kv_mask) + init
@@ -204,6 +236,8 @@ def zigzag_ring_attention(q, k, v, kv_mask=None, scale: float = 1.0,
         vma = getattr(jax.typeof(x), "vma", frozenset())
         return x if axis_name in vma else jax.lax.pvary(x, axis_name)
     carry0 = jax.tree_util.tree_map(_vary, carry0)
+    if dropout_rng is not None:
+        dropout_rng = _vary(dropout_rng)  # folded with the varying shard id
     perm = [(j, (j + 1) % n) for j in range(n)]
 
     def step(carry, i):
@@ -214,18 +248,25 @@ def zigzag_ring_attention(q, k, v, kv_mask=None, scale: float = 1.0,
         mh, mt = mask_blk[:, :C], mask_blk[:, C:]
         kh_pos, kt_pos = _zig_positions(src, n, C)
 
+        # global chunk ids for dropout keying: head of device d is chunk d,
+        # tail of device d is chunk 2n-1-d
+        q_head_id, q_tail_id = idx, 2 * n - 1 - idx
+        k_head_id, k_tail_id = src, 2 * n - 1 - src
         # head x head: only key chunks src <= idx are in the past
         head_stats = jax.lax.cond(
             src <= idx,
-            lambda hs: _merge(*hs, *stats(q_h, kh, vh, mh, qh_pos, kh_pos)),
+            lambda hs: _merge(*hs, *stats(q_h, kh, vh, mh, qh_pos, kh_pos,
+                                          q_head_id, k_head_id)),
             lambda hs: hs, head_stats)
         # tail x head: every head chunk precedes every tail chunk
         tail_stats = _merge(*tail_stats,
-                            *stats(q_t, kh, vh, mh, qt_pos, kh_pos))
+                            *stats(q_t, kh, vh, mh, qt_pos, kh_pos,
+                                   q_tail_id, k_head_id))
         # tail x tail: tail chunk of src is in the past iff src >= idx
         tail_stats = jax.lax.cond(
             src >= idx,
-            lambda ts: _merge(*ts, *stats(q_t, kt, vt, mt, qt_pos, kt_pos)),
+            lambda ts: _merge(*ts, *stats(q_t, kt, vt, mt, qt_pos, kt_pos,
+                                          q_tail_id, k_tail_id)),
             lambda ts: ts, tail_stats)
         k_blk, v_blk, mask_blk = jax.lax.ppermute(
             (k_blk, v_blk, mask_blk), axis_name, perm)

@@ -179,3 +179,30 @@ def test_sample_cache(task_and_corpus):
         next(stream2)
     assert ds2._cache_full
     assert ds2._cache_bytes <= 1e-6 * 2 ** 30 + 4096
+
+
+def test_pool_shutdown_on_one_cpu(task_and_corpus, monkeypatch):
+    """A live 2-worker spawn pool on this (possibly 1-core) host: batches
+    flow, close() terminates the pool promptly mid-stream, and no worker
+    processes survive (the round-2 'pool never ran in this image' gap)."""
+    import multiprocessing.pool
+    monkeypatch.setenv("PASERO_FORCE_WORKERS", "2")
+    task, corpus, _ = task_and_corpus
+    ds = DynamicTrainingDataset(_dataset_cfg(num_workers=2), _dist_cfg(),
+                                task, [corpus])
+    try:
+        batches = _take_batches(ds, 2)
+        assert all(b["decoder_input"].size for b in batches)
+        pool = ds._pool
+        assert isinstance(pool, multiprocessing.pool.Pool)
+        procs = list(pool._pool)
+        assert len(procs) == 2 and all(p.is_alive() for p in procs)
+    finally:
+        t0 = time.perf_counter()
+        ds.close()
+    assert time.perf_counter() - t0 < 10, "close() hung"
+    deadline = time.time() + 15
+    while any(p.is_alive() for p in procs) and time.time() < deadline:
+        time.sleep(0.1)
+    assert not any(p.is_alive() for p in procs), "worker processes leaked"
+    assert ds._pool is None

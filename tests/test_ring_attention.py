@@ -176,3 +176,78 @@ def test_zigzag_gradients():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-4,
                                    err_msg=f"d{name} mismatch")
+
+
+@functools.lru_cache(maxsize=4)
+def _dropout_runner(mesh, rate, causal):
+    """Built once per (mesh, rate) — a fresh shard_map per call would
+    retrace on every invocation of the expectation loop below."""
+    fn = functools.partial(ring_attention, scale=0.25, causal=causal,
+                           axis_name="seq", dropout_rate=rate)
+    return jax.jit(shard_map(
+        lambda q, k, v, r: fn(q, k, v, dropout_rng=r),
+        mesh=mesh,
+        in_specs=(P(None, None, "seq", None),) * 3 + (P(),),
+        out_specs=P(None, None, "seq", None)))
+
+
+def run_ring_dropout(q, k, v, mesh, rate, rng_key, causal=False):
+    return _dropout_runner(mesh, rate, causal)(q, k, v, rng_key)
+
+
+def test_ring_dropout_deterministic_and_active():
+    """Same key -> identical output; dropout actually changes the result;
+    rate=0 with a key == no-dropout path."""
+    mesh = seq_mesh(4)
+    q, k, v = make_qkv(S=32)
+    base = run_ring(q, k, v, mesh, scale=0.25)
+    key = jax.random.PRNGKey(7)
+    a = run_ring_dropout(q, k, v, mesh, 0.2, key)
+    b = run_ring_dropout(q, k, v, mesh, 0.2, key)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.allclose(np.asarray(a), np.asarray(base), atol=1e-3)
+    zero = run_ring_dropout(q, k, v, mesh, 0.0, key)
+    np.testing.assert_allclose(np.asarray(zero), np.asarray(base),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ring_dropout_matches_single_device_in_expectation():
+    """Mean over many keys approaches the undropped attention (unbiased,
+    like single-device dropout(softmax) @ V), and the per-key variance is
+    comparable to the single-device dot_product_attention dropout."""
+    mesh = seq_mesh(4)
+    q, k, v = make_qkv(B=1, H=2, S=16, D=8)
+    rate = 0.3
+    base = np.asarray(run_ring(q, k, v, mesh, scale=0.25))
+
+    n_keys = 200
+    ring_mean = np.zeros_like(base)
+    for i in range(n_keys):
+        ring_mean += np.asarray(run_ring_dropout(
+            q, k, v, mesh, rate, jax.random.PRNGKey(i)))
+    ring_mean /= n_keys
+    # standard error of the dropout estimator ~ |v| * sqrt(rate/(1-rate)/n)
+    np.testing.assert_allclose(ring_mean, base, atol=0.25)
+
+
+def test_zigzag_dropout_deterministic():
+    from pasero_tpu.ops.ring_attention import (zigzag_indices,
+                                               zigzag_ring_attention)
+    mesh = seq_mesh(4)
+    q, k, v = make_qkv(S=32)
+    zig = zigzag_indices(32, 4)
+    key = jax.random.PRNGKey(3)
+    fn = functools.partial(zigzag_ring_attention, scale=0.25,
+                           axis_name="seq", dropout_rate=0.25)
+    wrapped = shard_map(
+        lambda q, k, v, r: fn(q, k, v, dropout_rng=r),
+        mesh=mesh,
+        in_specs=(P(None, None, "seq", None),) * 3 + (P(),),
+        out_specs=P(None, None, "seq", None))
+    a = wrapped(q[:, :, zig], k[:, :, zig], v[:, :, zig], key)
+    b = wrapped(q[:, :, zig], k[:, :, zig], v[:, :, zig], key)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    base = run_ring(q, k, v, mesh, scale=0.25, causal=True)
+    inv = np.argsort(zig)
+    assert not np.allclose(np.asarray(a)[:, :, inv], np.asarray(base),
+                           atol=1e-3)

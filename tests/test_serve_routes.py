@@ -21,6 +21,8 @@ from pasero_tpu.serving.server import ServeHandler
 class FakeTask:
     def __init__(self, info=None, retriever_config=None):
         self.task_info = info or {"model_type": "decoder"}
+        self.preprocessor = type(
+            "PP", (), {"tokenize": staticmethod(lambda text: text.split())})()
         if retriever_config is not None:
             self.cfg = type("Cfg", (), {"retriever_config": retriever_config})()
 
@@ -33,6 +35,19 @@ class FakeGenerator:
         self.cfg = type("Cfg", (), {"task": "translation"})()
         self.decode_calls = []
         self.stream_calls = []
+        self.score_calls = []
+        self.wants_retrieval = True
+
+    def score(self, inputs, targets, **opts):
+        """Teacher-forced yes/no scoring: higher logp on ' Yes' when
+        wants_retrieval, on ' No' otherwise."""
+        self.score_calls.append((inputs, targets))
+        out = []
+        for target in targets:
+            good = target.strip().lower() == \
+                ("yes" if self.wants_retrieval else "no")
+            out.append({"detok": target, "score": -0.5 if good else -5.0})
+        return out
 
     def decode(self, inputs, return_scores=False, nbest=1, meta=None, **opts):
         self.decode_calls.append((inputs, nbest, meta, opts))
@@ -164,17 +179,80 @@ def test_rag_branch(server, tmp_path):
     threading.Thread(target=retriever.serve_forever, daemon=True).start()
     handler.retriever_url = f"http://127.0.0.1:{retriever.server_address[1]}"
 
-    models["rag"] = FakeGenerator(
-        info={"model_type": "decoder"},
-        retriever_config={"collection": "wiki"})
     try:
-        post(url + "/rag/stream", {"input": "tell me about the moon"}, raw=True)
-        # first stream call generated the retrieval query, the second got the
-        # document-augmented prompt
+        # 1) query generation (query_template -> RETRIEVE("...") stream)
+        models["rag"] = FakeGenerator(
+            info={"model_type": "decoder"},
+            retriever_config={
+                "collection": "wiki",
+                "query_template": 'Generate a query in the format '
+                                  '{retrieve} for: {user_msg}'})
+        post(url + "/rag/stream", {"input": "tell me about the moon"},
+             raw=True)
         calls = models["rag"].stream_calls
-        assert 'RETRIEVE("' in calls[0][0]
+        assert calls[0][0].endswith('RETRIEVE("')
         final_prompt = calls[-1][0]
         assert "orbits the earth" in final_prompt
+        assert "# Document 1" in final_prompt
         assert "tell me about the moon" in final_prompt
+
+        # 2) no query template: the user message is the query directly
+        models["rag2"] = FakeGenerator(
+            info={"model_type": "decoder"},
+            retriever_config={"collection": "wiki"})
+        post(url + "/rag2/stream", {"input": "moon orbit facts"}, raw=True)
+        calls = models["rag2"].stream_calls
+        assert len(calls) == 1 and "orbits the earth" in calls[0][0]
+
+        # 3) LLM-decided retrieval, 'No' branch: prompt passes unchanged
+        models["norag"] = FakeGenerator(
+            info={"model_type": "decoder"},
+            retriever_config={
+                "collection": "wiki",
+                "auto_template": "Would documents help answer "
+                                 '"{user_msg}"?'})
+        models["norag"].wants_retrieval = False
+        post(url + "/norag/stream",
+             {"input": "User: what is two plus two?"}, raw=True)
+        calls = models["norag"].stream_calls
+        assert len(calls) == 1
+        assert calls[0][0] == "User: what is two plus two?"
+        assert models["norag"].score_calls, "yes/no scoring did not run"
+        targets = models["norag"].score_calls[0][1]
+        assert [t.strip() for t in targets] == ["Yes", "No"]
+
+        # 4) 'Yes' branch with an explicit user query override
+        models["yesrag"] = FakeGenerator(
+            info={"model_type": "decoder"},
+            retriever_config={
+                "collection": "wiki",
+                "auto_template": "Would documents help for {user_msg}?"})
+        post(url + "/yesrag/stream",
+             {"input": "User: about paris\nRetriever query: capital of "
+                       "france"}, raw=True)
+        final = models["yesrag"].stream_calls[-1][0]
+        assert "capital of france" in final       # the right doc was fetched
+        assert "Retriever query:" not in final    # override line stripped
+        assert not models["yesrag"].score_calls   # explicit query skips vote
     finally:
         retriever.shutdown()
+
+
+def test_pack_documents_token_budget():
+    from pasero_tpu.serving.server import pack_documents
+    tokenize = str.split
+    docs = [{"text": "one two three four five"},       # 5 tokens
+            {"text": "a b"},                            # 2 tokens (too short)
+            {"text": "x " * 50},                        # 50 tokens (too long)
+            {"text": "six seven eight"}]                # 3 tokens
+    out = pack_documents(docs, tokenize, max_doc_len=9, min_doc_len=3,
+                         topk=5)
+    assert out == ["# Document 1\none two three four five",
+                   "# Document 2\nsix seven eight"]
+    # budget exhaustion stops packing
+    out = pack_documents(docs, tokenize, max_doc_len=5, min_doc_len=3)
+    assert out == ["# Document 1\none two three four five"]
+    # topk cap
+    out = pack_documents(docs, tokenize, max_doc_len=100, min_doc_len=0,
+                         topk=1)
+    assert len(out) == 1
