@@ -58,6 +58,14 @@ class TransformerConfig(Config):
         help="label smoothing mass")
     tied_output_projection: bool = argument(
         True, help="tie decoder embedding and output projection")
+    fused_ce: bool = argument(
+        True, help="compute the training loss in vocab-head chunks so the "
+                   "fp32 (B, T, V) logits tensor never hits HBM "
+                   "(chunked_cross_entropy; ~10%% faster steps). Disable to "
+                   "force the full-logits loss path")
+    ce_chunks: int = argument(
+        8, help="sequence chunks for --fused-ce (more chunks = less live "
+                "logits memory, slightly more scan overhead)")
     activation_fn: str = argument(
         "relu", choices=["relu", "gelu", "gelu_tanh", "swiglu", "geglu"],
         help="FFN activation")

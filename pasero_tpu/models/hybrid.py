@@ -231,6 +231,7 @@ class HybridTransformer(Transformer):
     """Transformer encoder + LSTM decoder, same outer API as Transformer."""
 
     supports_beam_lineage = False  # the LSTM decoder has no KV-cache lineage
+    supports_fused_ce = False      # LSTM decoder has no chunked-CE head hook
 
     def setup(self):
         cfg = self.cfg

@@ -322,11 +322,17 @@ class TransformerDecoder(nn.Module):
     def __call__(self, tokens, encoder_out=None, encoder_mask=None,
                  tgt_mask=None, positions=None, decode=False,
                  self_kv_mask=None, deterministic=True, return_layers=False,
-                 return_weights=False, adapter_ids=None, beam_lineage=None):
+                 return_weights=False, adapter_ids=None, beam_lineage=None,
+                 ce_targets=None, ce_weights=None):
         """tokens: (B, T) decoder input ids. Returns logits (B, T, V) float32.
 
         self_kv_mask: (B, cache_len) bool — validity of KV-cache slots at
-        decode time (False at left-pad prompt slots)."""
+        decode time (False at left-pad prompt slots).
+
+        ce_targets/ce_weights: fused-CE training path — instead of logits,
+        return (loss_sum, nll_sum, weight_sum) computed by
+        `chunked_cross_entropy` without materializing the (B, T, V) fp32
+        logits tensor."""
         cfg = self.cfg
         embed = self.shared_embed or Embedding(
             self.vocab_size, cfg.embed_dim, dtype=self.dtype,
@@ -436,6 +442,21 @@ class TransformerDecoder(nn.Module):
         if cfg.decoder_prenorm:
             x = make_norm(cfg, self.dtype, name="final_norm")(x)
 
+        if ce_targets is not None:
+            if cfg.tied_output_projection:
+                kernel = embed.embedding.T
+            else:
+                lin = Linear(self.vocab_size, use_bias=False,
+                             dtype=self.dtype, kernel_axes=("embed", "vocab"),
+                             name="output_projection")
+                lin(x[:, :1])  # instantiate; the unused dot is DCE'd
+                boxed = lin.variables["params"]["kernel"]
+                kernel = getattr(boxed, "value", boxed)
+            return chunked_cross_entropy(
+                x, kernel, ce_targets, ce_weights,
+                label_smoothing=cfg.label_smoothing or 0.0,
+                num_chunks=getattr(cfg, "ce_chunks", 8) or 8)
+
         if cfg.tied_output_projection:
             logits = embed.attend(x)
         else:
@@ -453,6 +474,65 @@ class TransformerDecoder(nn.Module):
         if extras:
             return logits, extras
         return logits
+
+
+def chunked_cross_entropy(x, kernel, targets, weights, label_smoothing=0.0,
+                          num_chunks=8):
+    """CE over vocab logits computed in sequence chunks — the fp32 (B, T, V)
+    logits tensor never exists in HBM.
+
+    The vocab head is the single largest HBM consumer of a training step
+    (measured: ~14 of 58 device-ms on transformer-base at bf16, vs an
+    ~8.4 ms MXU floor): the full path writes the fp32 logits, reads them
+    for the loss, saves them for backward and reads them again.  Here a
+    `lax.scan` over T-chunks computes each chunk's logits, reduces them to
+    loss partial sums, and *discards* them; `jax.checkpoint` on the chunk
+    body makes the backward recompute the chunk logits and fuse
+    (softmax - onehot) into the dx/dkernel matmuls.  Cost: one extra
+    logits matmul (recompute); saving: 3 full-size fp32 HBM passes.
+
+    x: (B, T, E) activations (pre-head, post-norm); kernel: (E, V);
+    targets (B, T) int32; weights (B, T) f32.
+    Returns (loss_sum, nll_sum, weight_sum) — same contract (and same
+    per-token math) as `cross_entropy_loss` on the full logits.
+    """
+    B, T, E = x.shape
+    num_chunks = max(1, min(num_chunks, T))
+    Tc = -(-T // num_chunks)
+    pad = Tc * num_chunks - T
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        targets = jnp.pad(targets, ((0, 0), (0, pad)))
+        weights = jnp.pad(weights, ((0, 0), (0, pad)))
+    # (chunks, B, Tc, ...): chunking the time axis keeps the batch axis (and
+    # its 'data' mesh sharding) intact through the scan
+    xs = x.reshape(B, num_chunks, Tc, E).transpose(1, 0, 2, 3)
+    ts = targets.reshape(B, num_chunks, Tc).transpose(1, 0, 2)
+    ws = weights.astype(jnp.float32).reshape(B, num_chunks, Tc).transpose(1, 0, 2)
+    kernel = kernel.astype(x.dtype)
+
+    @jax.checkpoint
+    def chunk_stats(xc, tc, wc):
+        logits = jnp.dot(xc, kernel, preferred_element_type=jnp.float32)
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        tgt = jnp.take_along_axis(logits, tc[..., None], axis=-1)[..., 0]
+        nll = lse - tgt
+        if label_smoothing > 0:
+            smooth = lse - jnp.mean(logits, axis=-1)
+            loss = (1.0 - label_smoothing) * nll + label_smoothing * smooth
+        else:
+            loss = nll
+        return jnp.sum(loss * wc), jnp.sum(nll * wc)
+
+    def body(carry, inp):
+        loss_acc, nll_acc = carry
+        loss_c, nll_c = chunk_stats(*inp)
+        return (loss_acc + loss_c, nll_acc + nll_c), None
+
+    (loss_sum, nll_sum), _ = jax.lax.scan(
+        body, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)),
+        (xs, ts, ws))
+    return loss_sum, nll_sum, jnp.sum(weights)
 
 
 def cross_entropy_loss(logits, targets, weights, label_smoothing=0.0):
@@ -492,6 +572,9 @@ class Transformer(nn.Module):
     # decode_step accepts beam_lineage (no-reorder beam attention); subclasses
     # with non-transformer decoders (LSTM hybrid) override this to False
     supports_beam_lineage = True
+    # fused chunked-CE loss path (chunked_cross_entropy); requires a
+    # TransformerDecoder head — non-transformer decoders override to False
+    supports_fused_ce = True
 
     cfg: TransformerConfig
     src_vocab_size: int
@@ -548,7 +631,8 @@ class Transformer(nn.Module):
                             adapter_ids=adapter_ids, **extra)
 
     def __call__(self, src_tokens=None, src_mask=None, decoder_input=None,
-                 targets=None, prompt_mask=None, deterministic=True,
+                 targets=None, prompt_mask=None, loss_weights=None,
+                 deterministic=True,
                  return_layers=False, return_weights=False,
                  encoder_adapter_ids=None, decoder_adapter_ids=None):
         cfg = self.cfg
@@ -558,6 +642,27 @@ class Transformer(nn.Module):
                 src_tokens, src_mask, deterministic=deterministic,
                 adapter_ids=encoder_adapter_ids)
 
+        weights = pad_mask = None
+        if targets is not None:
+            pad_mask = (targets != cfg.padding_idx).astype(jnp.float32)
+            weights = loss_weights if loss_weights is not None else pad_mask
+            if prompt_mask is not None and cfg.prompt_loss != 1.0:
+                weights = weights * jnp.where(prompt_mask, cfg.prompt_loss, 1.0)
+
+        # fused-CE path: the decoder reduces chunk logits to loss sums
+        # directly (no (B, T, V) fp32 tensor; chunked_cross_entropy)
+        fused = (targets is not None and self.supports_fused_ce
+                 and getattr(cfg, "fused_ce", True)
+                 and not return_layers and not return_weights)
+        if fused:
+            loss_sum, nll_sum, _ = self.decoder(
+                decoder_input, encoder_out=encoder_out,
+                encoder_mask=encoder_mask, deterministic=deterministic,
+                adapter_ids=decoder_adapter_ids,
+                ce_targets=targets, ce_weights=weights)
+            return {"loss_sum": loss_sum, "nll_sum": nll_sum,
+                    "num_tokens": jnp.sum(pad_mask)}
+
         result = self.decoder(
             decoder_input, encoder_out=encoder_out, encoder_mask=encoder_mask,
             deterministic=deterministic, return_layers=return_layers,
@@ -566,10 +671,6 @@ class Transformer(nn.Module):
 
         out = {"logits": logits, **extras}
         if targets is not None:
-            pad_mask = (targets != cfg.padding_idx).astype(jnp.float32)
-            weights = pad_mask
-            if prompt_mask is not None and cfg.prompt_loss != 1.0:
-                weights = weights * jnp.where(prompt_mask, cfg.prompt_loss, 1.0)
             loss_sum, nll_sum, denom = cross_entropy_loss(
                 logits, targets, weights,
                 label_smoothing=cfg.label_smoothing or 0.0)

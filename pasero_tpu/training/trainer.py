@@ -270,12 +270,21 @@ class Trainer:
             pp_forward = pp_mod.make_pp_forward(
                 model, self.mesh, self.pp_size, self.pp_microbatches)
 
+        fused_ce = (getattr(model, "supports_fused_ce", False)
+                    and getattr(model.cfg, "fused_ce", True)
+                    and self.pp_size == 1)
+
         def loss_fn(params, batch, dropout_rng):
             targets = shift_targets(batch["decoder_input"], pad_idx)
             target_mask = shift_targets(
                 batch["target_mask"].astype(jnp.int32), 0).astype(bool)
             prompt_mask = shift_targets(
                 batch["prompt_mask"].astype(jnp.int32), 0).astype(bool)
+            weights = target_mask.astype(jnp.float32)
+            if prompt_loss != 1.0:
+                weights = weights * jnp.where(prompt_mask, prompt_loss, 1.0)
+            num_tokens = jnp.sum(target_mask)
+            from ..models.transformer import cross_entropy_loss
             if pp_forward is not None:
                 logits = pp_forward(params, batch["decoder_input"],
                                     src_tokens=batch.get("src_tokens"),
@@ -283,20 +292,26 @@ class Trainer:
                                     deterministic=False,
                                     dropout_rng=dropout_rng)
                 mutated = {}
+                loss_sum, nll_sum, _ = cross_entropy_loss(
+                    logits, targets, weights, label_smoothing)
+            elif fused_ce:
+                # chunked vocab-head CE inside the model: the fp32 (B, T, V)
+                # logits never hit HBM (chunked_cross_entropy)
+                kwargs = self._model_kwargs(batch, deterministic=False)
+                out, mutated = model.apply(
+                    {"params": params}, targets=targets,
+                    loss_weights=weights,
+                    rngs={"dropout": dropout_rng}, mutable=["losses"],
+                    **kwargs)
+                loss_sum, nll_sum = out["loss_sum"], out["nll_sum"]
             else:
                 kwargs = self._model_kwargs(batch, deterministic=False)
                 out, mutated = model.apply(
                     {"params": params}, targets=None,
                     rngs={"dropout": dropout_rng}, mutable=["losses"],
                     **kwargs)
-                logits = out["logits"]
-            from ..models.transformer import cross_entropy_loss
-            weights = target_mask.astype(jnp.float32)
-            if prompt_loss != 1.0:
-                weights = weights * jnp.where(prompt_mask, prompt_loss, 1.0)
-            loss_sum, nll_sum, _ = cross_entropy_loss(
-                logits, targets, weights, label_smoothing)
-            num_tokens = jnp.sum(target_mask)
+                loss_sum, nll_sum, _ = cross_entropy_loss(
+                    out["logits"], targets, weights, label_smoothing)
             # auxiliary losses (MoE load balancing) are per-batch scalars; the
             # CE sum is normalized by token count later, so scale them up
             # (mixture_of_experts.py:560-589 does CE + lb * ntokens)
@@ -331,19 +346,25 @@ class Trainer:
             targets = shift_targets(batch["decoder_input"], pad_idx)
             target_mask = shift_targets(
                 batch["target_mask"].astype(jnp.int32), 0).astype(bool)
+            weights = target_mask.astype(jnp.float32)
+            from ..models.transformer import cross_entropy_loss
             if pp_forward is not None:
                 logits = pp_forward(params, batch["decoder_input"],
                                     src_tokens=batch.get("src_tokens"),
                                     src_mask=batch.get("src_mask"),
                                     deterministic=True)
+                loss_sum, nll_sum, _ = cross_entropy_loss(
+                    logits, targets, weights, label_smoothing)
+            elif fused_ce:
+                kwargs = self._model_kwargs(batch, deterministic=True)
+                out = model.apply({"params": params}, targets=targets,
+                                  loss_weights=weights, **kwargs)
+                loss_sum, nll_sum = out["loss_sum"], out["nll_sum"]
             else:
                 kwargs = self._model_kwargs(batch, deterministic=True)
                 out = model.apply({"params": params}, targets=None, **kwargs)
-                logits = out["logits"]
-            from ..models.transformer import cross_entropy_loss
-            weights = target_mask.astype(jnp.float32)
-            loss_sum, nll_sum, _ = cross_entropy_loss(
-                logits, targets, weights, label_smoothing)
+                loss_sum, nll_sum, _ = cross_entropy_loss(
+                    out["logits"], targets, weights, label_smoothing)
             return {"loss_sum": loss_sum, "nll_sum": nll_sum,
                     "num_tokens": jnp.sum(weights)}
 
