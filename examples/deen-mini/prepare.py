@@ -68,26 +68,31 @@ def read_tsv(path):
     return pairs
 
 
-def expand_templates(templates, per_template, rng):
+def expand_templates(templates, per_template, rng, held_out: int = 0):
     """Instantiate each template with `per_template` random slot fillings
-    (aligned de/en values, deterministic rng)."""
-    out = []
+    (aligned de/en values, deterministic rng).  ``held_out`` additional
+    *disjoint* instantiations per template are returned separately — unseen
+    slot combinations over fully-covered vocabulary, the generalization
+    test set."""
+    out, held = [], []
     for src, tgt in templates:
         slots = sorted({name.rsplit("_", 1)[0]
                         for name in _slot_names(src + tgt)})
         combos = list(itertools.product(
             *[range(len(SLOTS[s])) for s in slots]))
         rng.shuffle(combos)
-        for combo in combos[:per_template]:
+
+        def fill(combo):
             s, t = src, tgt
             for slot, idx in zip(slots, combo):
                 de, en = SLOTS[slot][idx]
-                s = s.replace(f"{{{slot}_DE}}", de).replace(
-                    f"{{{slot}}}", de)
-                t = t.replace(f"{{{slot}_EN}}", en).replace(
-                    f"{{{slot}}}", en)
-            out.append((s, t))
-    return out
+                s = s.replace(f"{{{slot}_DE}}", de).replace(f"{{{slot}}}", de)
+                t = t.replace(f"{{{slot}_EN}}", en).replace(f"{{{slot}}}", en)
+            return s, t
+
+        out += [fill(c) for c in combos[:per_template]]
+        held += [fill(c) for c in combos[per_template:per_template + held_out]]
+    return out, held
 
 
 def _slot_names(text):
@@ -107,17 +112,23 @@ def main():
     templates = read_tsv(os.path.join(HERE, "templates.tsv"))
 
     rng.shuffle(hand)
-    n_valid, n_test = 60, 120
-    valid, test, hand_train = (hand[:n_valid], hand[n_valid:n_valid + n_test],
-                               hand[n_valid + n_test:])
-    train = hand_train + expand_templates(templates, args.per_template, rng)
+    # valid/test: UNSEEN template instantiations (every word attested in
+    # training, so the scores measure composition, not lexical luck);
+    # test_hard: held-out hand-written sentences with open vocabulary
+    n_hard = 100
+    hard, hand_train = hand[:n_hard], hand[n_hard:]
+    expanded, held = expand_templates(templates, args.per_template, rng,
+                                      held_out=10)
+    rng.shuffle(held)
+    valid, test = held[:80], held[80:]
     # repeat the hand-written training pairs so the natural sentences are
     # not drowned out by the template expansions
-    train = train + hand_train * 2
+    train = hand_train * 3 + expanded
     rng.shuffle(train)
 
     os.makedirs(args.output, exist_ok=True)
-    for name, rows in (("train", train), ("valid", valid), ("test", test)):
+    for name, rows in (("train", train), ("valid", valid), ("test", test),
+                       ("test_hard", hard)):
         with open(os.path.join(args.output, f"{name}.de"), "w",
                   encoding="utf-8") as f:
             f.write("\n".join(s for s, _ in rows) + "\n")
@@ -125,7 +136,7 @@ def main():
                   encoding="utf-8") as f:
             f.write("\n".join(t for _, t in rows) + "\n")
     print(f"deen-mini: {len(train)} train / {len(valid)} valid / "
-          f"{len(test)} test pairs in {args.output}")
+          f"{len(test)} test / {len(hard)} test_hard pairs in {args.output}")
 
 
 if __name__ == "__main__":

@@ -183,6 +183,23 @@ class MultiheadAttention(nn.Module):
             q = apply_rope(q, positions, self.rope_base)
             k = apply_rope(k, kv_positions, self.rope_base)
 
+        # a T5Bias carries the (num_buckets, H) table instead of a
+        # materialized bias: the flash kernels compute it blockwise; every
+        # other path materializes it here from the call's positions
+        from ..ops.flash_attention import T5Bias
+        t5 = None
+        if isinstance(bias, T5Bias):
+            t5, bias = bias, None
+
+        def materialize_t5():
+            from .positional import t5_bias_from_table
+            return t5_bias_from_table(t5.table, positions, kv_positions,
+                                      t5.bidirectional, t5.num_buckets,
+                                      t5.max_distance)
+
+        if t5 is not None and (decode or return_weights):
+            bias, t5 = materialize_t5(), None
+
         if decode and self.cache_len > 0:
             k, v, kv_positions, mask, bias = self._update_cache(
                 k, v, kv_positions, positions, mask, bias,
@@ -215,6 +232,8 @@ class MultiheadAttention(nn.Module):
                 ring_dropout_rng = self.make_rng("dropout")
             from ..parallel.context import ring_self_attention
             kv_mask = mask[:, 0, 0, :] if mask is not None else None
+            if t5 is not None:
+                bias, t5 = materialize_t5(), None
             out = ring_self_attention(q, k, v, kv_mask=kv_mask, bias=bias,
                                       scale=scale, causal=self.causal,
                                       window=self.sliding_window,
@@ -256,9 +275,11 @@ class MultiheadAttention(nn.Module):
             # GQA-sized K/V go in directly (the kernel indexes heads)
             out = flash_attention(q, k, v, mask=mask, bias=bias, scale=scale,
                                   causal=self.causal,
-                                  window=self.sliding_window)
+                                  window=self.sliding_window, t5_bias=t5)
             weights = None
         else:
+            if t5 is not None:
+                bias, t5 = materialize_t5(), None
             if kv_heads != num_heads:
                 k = jnp.repeat(k, num_heads // kv_heads, axis=1)
                 v = jnp.repeat(v, num_heads // kv_heads, axis=1)
@@ -317,14 +338,14 @@ class MultiheadAttention(nn.Module):
 
         i = index.value
         if fusable and Sk == 1:
-            # elementwise one-hot-select write instead of dynamic_update_slice:
-            # when the cache is a loop carry that another consumer forces out
-            # of its in-place layout (the lineage einsums), XLA lowers the DUS
-            # as a whole-buffer VMEM prefetch+writeback (~550 us per tensor,
-            # profiled on v5e) while this select fuses into one streaming pass
-            slot = jnp.arange(self.cache_len)[None, None, :, None] == i
-            cached_k.value = jnp.where(slot, k, cached_k.value)
-            cached_v.value = jnp.where(slot, v, cached_v.value)
+            # aliased in-place Pallas slot write (ops/cache_update.py): the
+            # cache buffer is reused, only the target slot is touched, and
+            # the alias chain lets XLA elide the while-carry copies that a
+            # functional update forces (~0.56 ms/step of buffer copies +
+            # a full-cache streaming pass, profiled on v5e)
+            from ..ops.cache_update import cache_slot_write
+            cached_k.value = cache_slot_write(cached_k.value, k, i)
+            cached_v.value = cache_slot_write(cached_v.value, v, i)
         else:
             cached_k.value = jax.lax.dynamic_update_slice(
                 cached_k.value, k, (0, 0, i, 0))

@@ -151,15 +151,28 @@ class T5RelativeBias(nn.Module):
     num_buckets: int = 32
     max_distance: int = 128
 
-    @nn.compact
-    def __call__(self, q_positions, k_positions):
-        table = self.param(
+    def setup(self):
+        self.table = self.param(
             "rel_embedding",
             nn.with_logical_partitioning(
                 nn.initializers.normal(stddev=0.02), (None, "heads")),
             (self.num_buckets, self.num_heads), jnp.float32)
-        rel = q_positions[:, :, None] - k_positions[:, None, :]  # (B, Sq, Sk)
-        buckets = t5_bucket(rel, self.bidirectional, self.num_buckets,
-                            self.max_distance)
-        bias = jnp.take(table, buckets, axis=0)      # (B, Sq, Sk, H)
-        return jnp.transpose(bias, (0, 3, 1, 2))      # (B, H, Sq, Sk)
+
+    def __call__(self, q_positions, k_positions):
+        return t5_bias_from_table(self.table, q_positions, k_positions,
+                                  self.bidirectional, self.num_buckets,
+                                  self.max_distance)
+
+    def rel_table(self):
+        """The raw (num_buckets, H) table — for the in-kernel flash path
+        (ops/flash_attention.py T5Bias), which computes the bias blockwise
+        instead of materializing (B, H, Sq, Sk)."""
+        return self.table
+
+
+def t5_bias_from_table(table, q_positions, k_positions, bidirectional,
+                       num_buckets=32, max_distance=128):
+    rel = q_positions[:, :, None] - k_positions[:, None, :]  # (B, Sq, Sk)
+    buckets = t5_bucket(rel, bidirectional, num_buckets, max_distance)
+    bias = jnp.take(table, buckets, axis=0)      # (B, Sq, Sk, H)
+    return jnp.transpose(bias, (0, 3, 1, 2))      # (B, H, Sq, Sk)

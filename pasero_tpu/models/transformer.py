@@ -274,8 +274,14 @@ class TransformerEncoder(nn.Module):
             bias = alibi_bias(cfg.encoder_attention_heads, positions, positions,
                               max_bias=cfg.alibi_max_bias, causal=False)
         elif pe == "t5":
-            bias = T5RelativeBias(cfg.encoder_attention_heads, bidirectional=True,
-                                  name="t5_bias")(positions, positions)
+            # pass the (num_buckets, H) table: the flash kernel computes the
+            # bias blockwise in-kernel; other attention paths materialize it
+            # from the positions (models/attention.py)
+            from ..ops.flash_attention import T5Bias
+            mod = T5RelativeBias(cfg.encoder_attention_heads,
+                                 bidirectional=True, name="t5_bias")
+            bias = T5Bias(mod.rel_table(), True, mod.num_buckets,
+                          mod.max_distance)
 
         layer_outputs = []
         for i in range(cfg.encoder_layers):
@@ -388,9 +394,15 @@ class TransformerDecoder(nn.Module):
                                        kv_pos, max_bias=cfg.alibi_max_bias,
                                        causal=True)
             else:
-                self_bias = T5RelativeBias(cfg.decoder_attention_heads,
-                                           bidirectional=False, name="t5_bias"
-                                           )(positions, kv_pos)
+                mod = T5RelativeBias(cfg.decoder_attention_heads,
+                                     bidirectional=False, name="t5_bias")
+                if decode:
+                    self_bias = mod(positions, kv_pos)
+                else:
+                    # table only; attention materializes off the flash path
+                    from ..ops.flash_attention import T5Bias
+                    self_bias = T5Bias(mod.rel_table(), False,
+                                       mod.num_buckets, mod.max_distance)
 
         cross_mask = None
         encoder_positions = None

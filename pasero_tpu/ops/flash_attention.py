@@ -22,18 +22,26 @@ Two kernel families, selected by the K/V VMEM footprint:
 - streaming: K/V (and the bias) blocked through a third grid axis with the
   online-softmax state in VMEM scratch — unbounded sequence length,
   double-buffered HBM streaming (validated fwd+bwd at 32k on a v5e chip).
-Remaining cap: the *bias gradient* kernel stages (block_q, Sk) strips, so
-learned-bias (T5) training beyond ~64k should shard the sequence instead
-(--cp-size ring attention).
+
+Learned relative-position (T5) bias has a dedicated in-kernel path
+(``t5_bias=T5Bias(table, ...)``): the bucket id is computed from the block
+position iotas and gathered from the (num_buckets, H) table via a one-hot
+matmul inside every kernel, and the backward accumulates the table
+gradient directly — no O(Sq*Sk) bias tensor exists in either direction,
+at any sequence length.  (A *materialized* bias still works through
+``bias=`` for arbitrary patterns; its dbias kernel stages (block_q, Sk)
+strips and its gradient is O(Sq*Sk), so prefer t5_bias for T5 training.)
 """
 
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from flax import struct
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -77,6 +85,83 @@ def _interpret() -> bool:
 
 def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+class T5Bias(struct.PyTreeNode):
+    """In-kernel T5 relative-position bias: the (num_buckets, H) learned
+    table plus the bucketing constants.  At long sequence lengths the
+    materialized (H, Sq, Sk) bias (and its same-shaped gradient) is the
+    flash kernels' only O(S^2) HBM tensor; computing the bucket from the
+    block position iotas inside the kernel removes it entirely — forward
+    AND backward (the gradient shrinks to (num_buckets, H)).  Assumes
+    right-padded sequences (slot index == position), the training layout.
+
+    A pytree whose bucketing constants are static metadata, so it can ride
+    any traced call path (layer arguments, remat) like a plain bias array.
+    """
+    table: jax.Array           # (num_buckets, H) float32
+    bidirectional: bool = struct.field(pytree_node=False, default=False)
+    num_buckets: int = struct.field(pytree_node=False, default=32)
+    max_distance: int = struct.field(pytree_node=False, default=128)
+
+
+def _t5_tile(table_col, q_pos, k_pos, bidirectional: bool, nb: int,
+             maxd: int):
+    """Bias tile (BQ, BK) for one head from its (nb, 1) table column.
+
+    Bucket math mirrors models/positional.py:t5_bucket exactly; the gather
+    is a one-hot matmul (MXU-friendly; TPU has no vector gather)."""
+    rel = q_pos - k_pos
+    n = -rel
+    nb_eff = nb
+    ret = jnp.zeros_like(n)
+    if bidirectional:
+        nb_eff = nb // 2
+        ret = (n < 0).astype(jnp.int32) * nb_eff
+        n = jnp.abs(n)
+    else:
+        n = jnp.maximum(n, 0)
+    max_exact = nb_eff // 2
+    is_small = n < max_exact
+    log_ratio = jnp.log(n.astype(jnp.float32) / max_exact + 1e-6) / \
+        math.log(maxd / max_exact)
+    val_large = jnp.minimum(
+        max_exact + (log_ratio * (nb_eff - max_exact)).astype(jnp.int32),
+        nb_eff - 1)
+    bucket = ret + jnp.where(is_small, n, val_large)          # (BQ, BK)
+    onehot = (bucket[..., None] == jax.lax.broadcasted_iota(
+        jnp.int32, bucket.shape + (nb,), 2)).astype(jnp.float32)
+    BQ, BK = bucket.shape
+    tile = jax.lax.dot_general(onehot.reshape(BQ * BK, nb),
+                               table_col.astype(jnp.float32),
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    return tile.reshape(BQ, BK)
+
+
+def _t5_onehot(q_pos, k_pos, bidirectional: bool, nb: int, maxd: int):
+    """(BQ*BK, nb) one-hot bucket matrix (for the demb backward)."""
+    rel = q_pos - k_pos
+    n = -rel
+    nb_eff = nb
+    ret = jnp.zeros_like(n)
+    if bidirectional:
+        nb_eff = nb // 2
+        ret = (n < 0).astype(jnp.int32) * nb_eff
+        n = jnp.abs(n)
+    else:
+        n = jnp.maximum(n, 0)
+    max_exact = nb_eff // 2
+    is_small = n < max_exact
+    log_ratio = jnp.log(n.astype(jnp.float32) / max_exact + 1e-6) / \
+        math.log(maxd / max_exact)
+    val_large = jnp.minimum(
+        max_exact + (log_ratio * (nb_eff - max_exact)).astype(jnp.int32),
+        nb_eff - 1)
+    bucket = ret + jnp.where(is_small, n, val_large)
+    onehot = (bucket[..., None] == jax.lax.broadcasted_iota(
+        jnp.int32, bucket.shape + (nb,), 2)).astype(jnp.float32)
+    return onehot.reshape(bucket.shape[0] * bucket.shape[1], nb)
 
 
 def _bias_rows(bias, B: int, H: int):
@@ -240,9 +325,13 @@ def _use_streaming(Sk: int, D: int, dtype) -> bool:
 
 def _fwd_stream_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, out_ref,
                        lse_ref, m_scr, l_scr, acc_scr, *,
-                       scale, causal, window, num_k_blocks, block_q, block_k):
+                       scale, causal, window, num_k_blocks, block_q, block_k,
+                       t5=None):
     """One (batch*head, q-block, k-block) program; the online-softmax state
-    lives in VMEM scratch across the innermost (k-block) grid axis."""
+    lives in VMEM scratch across the innermost (k-block) grid axis.
+    ``t5``: (bidirectional, num_buckets, max_distance) — bias_ref is then
+    the head's (nb, 1) table column and the bias tile is computed in-kernel.
+    """
     qb = pl.program_id(1)
     kb = pl.program_id(2)
 
@@ -266,12 +355,14 @@ def _fwd_stream_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, out_ref,
         v = v_ref[0].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        if bias_ref is not None:
-            s = s + bias_ref[0].astype(jnp.float32)
         q_pos = qb * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 0)
         k_pos = kb * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
+        if t5 is not None:
+            s = s + _t5_tile(bias_ref[...], q_pos, k_pos, *t5)
+        elif bias_ref is not None:
+            s = s + bias_ref[0].astype(jnp.float32)
         ok = jnp.broadcast_to((mask_ref[0, 0] > 0)[None, :], s.shape)
         if causal:
             ok &= k_pos <= q_pos
@@ -295,7 +386,7 @@ def _fwd_stream_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, out_ref,
         lse_ref[0, 0] = (m_scr[...] + jnp.log(l_safe))[:, 0]
 
 
-def _fwd_stream(q, k, v, kv_mask, bias, scale, causal, window):
+def _fwd_stream(q, k, v, kv_mask, bias, scale, causal, window, t5=None):
     B, H, Sq, D = q.shape
     Hkv, Sk = k.shape[1], k.shape[2]
     group = H // Hkv
@@ -321,7 +412,15 @@ def _fwd_stream(q, k, v, kv_mask, bias, scale, causal, window):
     ]
     kw = dict(scale=scale, causal=causal, window=window,
               num_k_blocks=num_k_blocks, block_q=block_q, block_k=block_k)
-    if bias is not None:
+    if t5 is not None:
+        # bias is the (nb, H) table; each program reads its head's column
+        nb = bias.shape[0]
+        in_specs.append(pl.BlockSpec((nb, 1),
+                                     lambda bh, qb, kb: (0, bh % H),
+                                     **common))
+        args.append(bias.astype(jnp.float32))
+        kernel = functools.partial(_fwd_stream_kernel, **kw, t5=t5)
+    elif bias is not None:
         bias_r, brow = _bias_rows(bias, B, H)
         in_specs.append(pl.BlockSpec((1, block_q, block_k),
                                      lambda bh, qb, kb: (brow(bh), qb, kb),
@@ -362,7 +461,7 @@ def _fwd_stream(q, k, v, kv_mask, bias, scale, causal, window):
 def _bwd_dq_stream_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, do_ref,
                           lse_ref, delta_ref, dq_ref, dq_scr, *,
                           scale, causal, window, num_k_blocks,
-                          block_q, block_k):
+                          block_q, block_k, t5=None):
     qb = pl.program_id(1)
     kb = pl.program_id(2)
 
@@ -384,12 +483,14 @@ def _bwd_dq_stream_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, do_ref,
         v = v_ref[0].astype(jnp.float32)
         s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        if bias_ref is not None:
-            s = s + bias_ref[0].astype(jnp.float32)
         q_pos = qb * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 0)
         k_pos = kb * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
+        if t5 is not None:
+            s = s + _t5_tile(bias_ref[...], q_pos, k_pos, *t5)
+        elif bias_ref is not None:
+            s = s + bias_ref[0].astype(jnp.float32)
         ok = jnp.broadcast_to((mask_ref[0, 0] > 0)[None, :], s.shape)
         if causal:
             ok &= k_pos <= q_pos
@@ -411,7 +512,7 @@ def _bwd_dq_stream_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, do_ref,
 def _bwd_dkv_stream_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, do_ref,
                            lse_ref, delta_ref, dk_ref, dv_ref,
                            dk_scr, dv_scr, *, scale, causal, window,
-                           num_q_blocks, block_q, block_k):
+                           num_q_blocks, block_q, block_k, t5=None):
     kb = pl.program_id(1)
     qb = pl.program_id(2)
 
@@ -434,12 +535,14 @@ def _bwd_dkv_stream_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, do_ref,
         delta = delta_ref[0, 0][:, None]
         s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        if bias_ref is not None:
-            s = s + bias_ref[0].astype(jnp.float32)
         q_pos = qb * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 0)
         k_pos = kb * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
+        if t5 is not None:
+            s = s + _t5_tile(bias_ref[...], q_pos, k_pos, *t5)
+        elif bias_ref is not None:
+            s = s + bias_ref[0].astype(jnp.float32)
         ok = jnp.broadcast_to((mask_ref[0, 0] > 0)[None, :], s.shape)
         if causal:
             ok &= k_pos <= q_pos
@@ -461,7 +564,8 @@ def _bwd_dkv_stream_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, do_ref,
         dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
 
 
-def _bwd_stream(scale, causal, window, q, k, v, kv_mask, bias, do, lse, delta):
+def _bwd_stream(scale, causal, window, q, k, v, kv_mask, bias, do, lse, delta,
+                t5=None):
     """dq/dk/dv with K/V/Q blocked through the grid (long sequences)."""
     B, H, Sq, D = q.shape
     Hkv, Sk = k.shape[1], k.shape[2]
@@ -481,7 +585,14 @@ def _bwd_stream(scale, causal, window, q, k, v, kv_mask, bias, do, lse, delta):
     do_r = do.reshape(B * H, Sq, D)
     lse_r = lse.reshape(B * H, 1, Sq)
     delta_r = delta.reshape(B * H, 1, Sq)
-    bias_r, brow = _bias_rows(bias, B, H) if bias is not None else (None, None)
+    if t5 is not None:
+        bias_r = bias.astype(jnp.float32)       # the (nb, H) table
+        nb = bias.shape[0]
+        table_spec = lambda order: pl.BlockSpec(
+            (nb, 1), (lambda bh, x, y: (0, bh % H)), **common)
+    else:
+        bias_r, brow = _bias_rows(bias, B, H) if bias is not None \
+            else (None, None)
 
     # -- dq: grid (bh, q-block, k-block) -------------------------------------
     kw = dict(scale=scale, causal=causal, window=window,
@@ -495,7 +606,11 @@ def _bwd_stream(scale, causal, window, q, k, v, kv_mask, bias, do, lse, delta):
         pl.BlockSpec((1, 1, BK), lambda bh, qb, kb: (bh, 0, kb), **common),
     ]
     dq_args = [q_r, k_r, v_r, mask_bh]
-    if bias_r is not None:
+    if t5 is not None:
+        dq_specs.append(table_spec("qk"))
+        dq_args.append(bias_r)
+        dq_kernel = functools.partial(_bwd_dq_stream_kernel, **kw, t5=t5)
+    elif bias_r is not None:
         dq_specs.append(pl.BlockSpec((1, BQ, BK),
                                      lambda bh, qb, kb: (brow(bh), qb, kb),
                                      **common))
@@ -534,7 +649,11 @@ def _bwd_stream(scale, causal, window, q, k, v, kv_mask, bias, do, lse, delta):
         pl.BlockSpec((1, 1, BK), lambda bh, kb, qb: (bh, 0, kb), **common),
     ]
     dkv_args = [q_r, k_r, v_r, mask_bh]
-    if bias_r is not None:
+    if t5 is not None:
+        dkv_specs.append(table_spec("kq"))
+        dkv_args.append(bias_r)
+        dkv_kernel = functools.partial(_bwd_dkv_stream_kernel, **kw2, t5=t5)
+    elif bias_r is not None:
         dkv_specs.append(pl.BlockSpec((1, BQ, BK),
                                       lambda bh, kb, qb: (brow(bh), qb, kb),
                                       **common))
@@ -761,6 +880,139 @@ def _compute_dbias(bias, q_r, k_r, v_r, mask_bh, do_r, lse_r, delta_r,
     return dbias.astype(bias.dtype)
 
 
+def _demb_kernel(q_ref, k_ref, v_ref, mask_ref, table_ref, do_ref, lse_ref,
+                 delta_ref, demb_ref, *, scale, causal, window,
+                 block_q, block_k, t5):
+    """Gradient of the loss w.r.t. one head's (nb, 1) T5 table column.
+
+    Grid (H, B, q-blocks, k-blocks), h outermost: all revisits of the
+    (1, nb) output row are contiguous, so the read-modify-write
+    accumulation is exact. demb[h, b'] = sum over (q, k) pairs in bucket b'
+    of dS(q, k)."""
+    b = pl.program_id(1)
+    qb = pl.program_id(2)
+    kb = pl.program_id(3)
+
+    @pl.when((b == 0) & (qb == 0) & (kb == 0))
+    def _init():
+        demb_ref[...] = jnp.zeros(demb_ref.shape, demb_ref.dtype)
+
+    live = True
+    if causal:
+        live = kb * block_k <= (qb + 1) * block_q - 1
+
+    @pl.when(live if not isinstance(live, bool) else True)
+    def _update():
+        q = q_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, None]
+        delta = delta_ref[0, 0][:, None]
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        q_pos = qb * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+        k_pos = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        s = s + _t5_tile(table_ref[...], q_pos, k_pos, *t5)
+        ok = jnp.broadcast_to((mask_ref[0, 0] > 0)[None, :], s.shape)
+        if causal:
+            ok &= k_pos <= q_pos
+        if window is not None:
+            ok &= (q_pos - k_pos) < window
+        s = jnp.where(ok, s, NEG_INF)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = jnp.where(ok, p * (dp - delta), 0.0)
+        onehot = _t5_onehot(q_pos, k_pos, *t5)               # (BQ*BK, nb)
+        contrib = jax.lax.dot_general(
+            ds.reshape(1, block_q * block_k), onehot,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)               # (1, nb)
+        demb_ref[...] += contrib
+
+
+def _compute_demb(q, k, v, kv_mask, table, do, lse, delta,
+                  scale, causal, window, t5):
+    """(H, nb) bucket-table gradient, streamed at any sequence length."""
+    B, H, Sq, D = q.shape
+    Hkv, Sk = k.shape[1], k.shape[2]
+    group = H // Hkv
+    nb = table.shape[0]
+    BQ, BK = _pick_bwd_blocks(Sq, Sk, D)
+    while Sq % BQ:
+        BQ //= 2
+    while Sk % BK:
+        BK //= 2
+    common = dict(memory_space=pltpu.VMEM)
+    bh = lambda h, b, qb, kb: b * H + h
+    in_specs = [
+        pl.BlockSpec((1, BQ, D), lambda *g: (bh(*g), g[2], 0), **common),
+        pl.BlockSpec((1, BK, D), lambda *g: (bh(*g) // group, g[3], 0),
+                     **common),
+        pl.BlockSpec((1, BK, D), lambda *g: (bh(*g) // group, g[3], 0),
+                     **common),
+        pl.BlockSpec((1, 1, BK), lambda *g: (bh(*g), 0, g[3]), **common),
+        pl.BlockSpec((nb, 1), lambda *g: (0, g[0]), **common),
+        pl.BlockSpec((1, BQ, D), lambda *g: (bh(*g), g[2], 0), **common),
+        pl.BlockSpec((1, 1, BQ), lambda *g: (bh(*g), 0, g[2]), **common),
+        pl.BlockSpec((1, 1, BQ), lambda *g: (bh(*g), 0, g[2]), **common),
+    ]
+    kernel = functools.partial(
+        _demb_kernel, scale=scale, causal=causal, window=window,
+        block_q=BQ, block_k=BK, t5=t5)
+    mask_bh = jnp.broadcast_to(kv_mask[:, None, :], (B, H, Sk)
+                               ).reshape(B * H, 1, Sk).astype(jnp.int32)
+    demb = pl.pallas_call(
+        kernel, grid=(H, B, Sq // BQ, Sk // BK), in_specs=in_specs,
+        interpret=_interpret(),
+        out_specs=pl.BlockSpec((1, nb), lambda *g: (g[0], 0), **common),
+        out_shape=jax.ShapeDtypeStruct((H, nb), jnp.float32),
+    )(q.reshape(B * H, Sq, D), k.reshape(B * Hkv, Sk, D),
+      v.reshape(B * Hkv, Sk, D), mask_bh, table.astype(jnp.float32),
+      do.reshape(B * H, Sq, D), lse.reshape(B * H, 1, Sq),
+      delta.reshape(B * H, 1, Sq))
+    return demb.T.astype(table.dtype)                        # (nb, H)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash_t5(q, k, v, kv_mask, table, scale, causal, window, t5):
+    out, _ = _fwd_stream(q, k, v, kv_mask, table, scale, causal, window,
+                         t5=t5)
+    return out
+
+
+def _flash_t5_fwd(q, k, v, kv_mask, table, scale, causal, window, t5):
+    out, lse = _fwd_stream(q, k, v, kv_mask, table, scale, causal, window,
+                           t5=t5)
+    return out, (q, k, v, kv_mask, table, out, lse)
+
+
+def _flash_t5_bwd(scale, causal, window, t5, residuals, g):
+    q, k, v, kv_mask, table, out, lse = residuals
+    do = g
+    B, H, Sq, D = q.shape
+    Hkv, Sk = k.shape[1], k.shape[2]
+    group = H // Hkv
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    dq, dk, dv = _bwd_stream(scale, causal, window, q, k, v, kv_mask,
+                             table, do, lse.reshape(B, H, Sq), delta, t5=t5)
+    dk = dk.reshape(B, H, Sk, D)
+    dv = dv.reshape(B, H, Sk, D)
+    if group > 1:
+        dk = dk.reshape(B, Hkv, group, Sk, D).sum(axis=2)
+        dv = dv.reshape(B, Hkv, group, Sk, D).sum(axis=2)
+    dtable = _compute_demb(q, k, v, kv_mask, table, do,
+                           lse.reshape(B, H, Sq), delta,
+                           scale, causal, window, t5)
+    return dq.reshape(B, H, Sq, D), dk, dv, None, dtable
+
+
+_flash_t5.defvjp(_flash_t5_fwd, _flash_t5_bwd)
+
+
 def _bwd(scale, causal, window, residuals, g):
     q, k, v, kv_mask, bias, out, lse = residuals
     do = g
@@ -925,7 +1177,8 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
 def flash_attention(q, k, v, mask=None, bias=None, scale: float = 1.0,
-                    causal: bool = False, window: Optional[int] = None):
+                    causal: bool = False, window: Optional[int] = None,
+                    t5_bias: Optional[T5Bias] = None):
     """Public wrapper: pads shapes to kernel tiles and restores them.
 
     q: (B, H, Sq, D); k/v: (B, Hkv, Sk, D) (GQA allowed, H % Hkv == 0).
@@ -933,9 +1186,16 @@ def flash_attention(q, k, v, mask=None, bias=None, scale: float = 1.0,
     supports key-validity masking (B, Sk) — full masks fall back to the last
     two axes' any()-reduction over queries, which is exact for the padding and
     causal masks produced by this codebase.
+
+    t5_bias: learned relative-position bias computed INSIDE the kernels
+    from the (num_buckets, H) table — no O(Sq*Sk) bias tensor in either
+    direction, so T5-style models train at any sequence length (the
+    round-2 ~64k learned-bias gradient cap is gone). Mutually exclusive
+    with ``bias``; assumes right-padded sequences.
     """
     B, H, Sq, D = q.shape
     Hkv, Sk = k.shape[1], k.shape[2]
+    assert bias is None or t5_bias is None
 
     kv_mask = None
     extra_causal = causal
@@ -970,5 +1230,11 @@ def flash_attention(q, k, v, mask=None, bias=None, scale: float = 1.0,
         bias_p = jnp.pad(bias.astype(jnp.float32),
                          ((0, 0), (0, 0), (0, Sq_pad - Sq), (0, Sk_pad - Sk)))
 
+    if t5_bias is not None:
+        t5_meta = (t5_bias.bidirectional, t5_bias.num_buckets,
+                   t5_bias.max_distance)
+        out = _flash_t5(q_p, k_p, v_p, kv_mask_p, t5_bias.table, scale,
+                        extra_causal, window, t5_meta)
+        return out[:, :, :Sq, :D]
     out = _flash(q_p, k_p, v_p, kv_mask_p, bias_p, scale, extra_causal, window)
     return out[:, :, :Sq, :D]

@@ -106,7 +106,12 @@ def test_forward_finite(arch, task):
     variables = model.init(RNG, **kwargs)
     out = model.apply(variables, **kwargs)
     assert np.isfinite(float(out["loss_sum"]))
-    assert out["logits"].shape == (2, 9, 50)
+    # with targets the fused-CE path skips logits; the logits-only forward
+    # still produces them
+    logit_out = model.apply(variables,
+                            **{k: v for k, v in kwargs.items()
+                               if k != "targets"})
+    assert logit_out["logits"].shape == (2, 9, 50)
 
 
 def _greedy_from_full(model, variables, dec, src=None):
