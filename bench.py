@@ -31,7 +31,6 @@ def main():
 
     from pasero_tpu.config import get_model_config_cls
     from pasero_tpu.models import Transformer
-    from pasero_tpu.models.transformer import cross_entropy_loss
     from pasero_tpu.training.trainer import shift_targets
 
     vocab = 32_000
@@ -52,12 +51,14 @@ def main():
     opt_state = tx.init(params)
 
     def loss_fn(params, batch, dropout_rng):
+        # the production loss path: fused chunked vocab-head CE inside the
+        # model (chunked_cross_entropy) — the fp32 (B,T,V) logits never
+        # hit HBM (cfg.fused_ce, default on)
         targets = shift_targets(batch["decoder_input"], cfg.padding_idx)
         out = model.apply({"params": params}, deterministic=False,
+                          targets=targets,
                           rngs={"dropout": dropout_rng}, **batch)
-        weights = (targets != cfg.padding_idx).astype(jnp.float32)
-        loss, _, denom = cross_entropy_loss(out["logits"], targets, weights, 0.1)
-        return loss / jnp.maximum(denom, 1.0)
+        return out["loss_sum"] / jnp.maximum(out["num_tokens"], 1.0)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, batch, step):

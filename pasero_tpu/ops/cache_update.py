@@ -7,14 +7,17 @@ second copy of several cache tensors alive across the loop boundary
 (profiled: ~0.56 ms of a 3.9 ms beam step on v5e, PERFORMANCE.md).  This
 kernel writes the incoming (B, H, 1, D) block into the cache slot with
 ``input_output_aliases``: the cache buffer is updated literally in place,
-the grid touches only the target slot (O(B·H·D) bytes instead of a
-full-cache streaming pass), and the aliasing gives XLA a clean chain to
-elide the carry copy.
+the grid touches only the 8-slot-aligned window containing the target
+(O(B·H·8·D) bytes — TPU sublane tiling forbids a 1-slot block — instead
+of a full-cache streaming pass), and the aliasing gives XLA a clean chain
+to elide the carry copy.
 
 Falls back to interpreter mode off-TPU (tests).
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -22,9 +25,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _write_kernel(idx_ref, cache_ref, new_ref, out_ref):
-    # the block index map already selected the target slot: plain copy
-    out_ref[...] = new_ref[...]
+def _write_kernel(idx_ref, cache_ref, new_ref, out_ref, *, window):
+    # the index map selected the window-aligned slot block containing the
+    # target; select the one slot inside it (TPU tiling requires the
+    # second-to-last block dim to be a multiple of 8, so a 1-slot block
+    # is not expressible — an 8-slot read-modify-write is)
+    j = idx_ref[0] % window
+    cur = cache_ref[...]                              # (1, H, window, D)
+    slot = jax.lax.broadcasted_iota(jnp.int32, cur.shape, 2)
+    out_ref[...] = jnp.where(slot == j, new_ref[...], cur)
 
 
 def _interpret() -> bool:
@@ -45,19 +54,19 @@ def cache_slot_write(cache, new, index, force_pallas: bool = False):
             cache, new.astype(cache.dtype),
             (0, 0, jnp.asarray(index, jnp.int32), 0))
     B, H, L, D = cache.shape
+    window = min(8, L)       # slot block: multiple-of-8 TPU sublane tiling
+    slot_block = lambda b, idx_ref: (b, 0, idx_ref[0] // window, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, H, 1, D),
-                         lambda b, idx_ref: (b, 0, idx_ref[0], 0)),
+            pl.BlockSpec((1, H, window, D), slot_block),
             pl.BlockSpec((1, H, 1, D), lambda b, idx_ref: (b, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, H, 1, D),
-                               lambda b, idx_ref: (b, 0, idx_ref[0], 0)),
+        out_specs=pl.BlockSpec((1, H, window, D), slot_block),
     )
     return pl.pallas_call(
-        _write_kernel,
+        functools.partial(_write_kernel, window=window),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(cache.shape, cache.dtype),
         input_output_aliases={1: 0},   # cache (after the scalar arg) -> out

@@ -1,0 +1,163 @@
+#!/usr/bin/env python3
+"""1B-class single-chip benchmarks (llama_1b: 1.1B params, GQA, RoPE).
+
+The round-2 review noted every perf number was transformer-base (~100M)
+scale; this is the billion-parameter story on one v5e chip:
+
+- ``--train``: full training step (fwd+bwd+update) at bf16 with
+  activation checkpointing and the fused chunked-CE loss; reports target
+  tokens/s and MFU against the chip's bf16 peak.  Optimizer is adafactor
+  (fp32-state Adam for 1.1B params needs ~13 GB of moments alone — more
+  than this chip's HBM; the reference could not Adam-train 1B on its 32G
+  V100s either).
+- ``--decode``: weight-bound generation. Greedy vs prompt-lookup
+  speculative (--speculative's home regime: each model call reads the
+  full 2.2 GB of bf16 weights, so verifying a K-token draft in one call
+  must beat K calls) on copy-heavy prompts, with bit-identical outputs
+  asserted.
+
+Usage: python scripts/bench_1b.py --train|--decode [--steps N]
+"""
+
+import argparse
+import functools
+import json
+import time
+
+import numpy as np
+
+V5E_BF16_PEAK = 197e12  # bf16 FLOPs/s per v5e chip
+
+
+def build_model(cfg_overrides=None, **model_kwargs):
+    from pasero_tpu.config import get_model_cls
+    model_cls, cfg_cls = get_model_cls("llama_1b")
+    cfg = cfg_cls()
+    cfg.set_defaults("language_modeling")
+    cfg.dropout = 0.0
+    for k, v in (cfg_overrides or {}).items():
+        setattr(cfg, k, v)
+    vocab = 32_000
+    model = model_cls(cfg, src_vocab_size=vocab, **model_kwargs)
+    return model, cfg, vocab
+
+
+def bench_train(steps: int, batch_tokens: int):
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from pasero_tpu.training.trainer import shift_targets
+
+    B, T = max(1, batch_tokens // 2048), 2048
+    model, cfg, vocab = build_model({"checkpoint_activations": True})
+    rng = np.random.default_rng(0)
+    batch = jnp.asarray(rng.integers(4, vocab, (B, T)), jnp.int32)
+
+    params = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), decoder_input=batch)["params"])()
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    tx = optax.adafactor(3e-4)
+    opt_state = jax.jit(tx.init)(params)
+
+    def loss_fn(params):
+        targets = shift_targets(batch, cfg.padding_idx)
+        out = model.apply({"params": params}, decoder_input=batch,
+                          targets=targets, deterministic=True)
+        return out["loss_sum"] / jnp.maximum(out["num_tokens"], 1.0)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    params, opt_state, loss = train_step(params, opt_state)
+    print(f"llama_1b: {n_params/1e9:.2f}B params, warm loss "
+          f"{float(loss):.3f}, batch {B}x{T}")
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        params, opt_state, loss = train_step(params, opt_state)
+    _ = float(loss)
+    dt = time.perf_counter() - t0
+    tps = B * T * steps / dt
+    # 6ND (fwd+bwd) + one extra vocab-head matmul recompute from the fused
+    # CE (~2*T*E*V) — report plain 6ND MFU (the standard convention)
+    mfu = 6.0 * n_params * tps / V5E_BF16_PEAK
+    print(json.dumps({"metric": "train_1b_tokens_per_sec", "value": round(tps, 1),
+                      "mfu": round(mfu, 4), "params": n_params}))
+
+
+def bench_decode(max_new: int, batch: int):
+    import jax
+    import jax.numpy as jnp
+    from pasero_tpu.decoding.search import (sample_decode,
+                                            speculative_greedy_decode)
+
+    B, P, N, K = batch, 128, max_new, 7
+    model, cfg, vocab = build_model(
+        {}, self_cache_len=P + N + 8 + 1)
+    # copy-heavy prompt: a repeated 16-token phrase (the speculative
+    # decoder's home turf: translation/summarization/code copy spans)
+    rng = np.random.default_rng(0)
+    phrase = rng.integers(4, vocab, 16)
+    prompt = jnp.asarray(np.tile(phrase, (B, P // 16)), jnp.int32)
+    prompt_mask = jnp.ones((B, P), bool)
+
+    params = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), decoder_input=prompt[:, :8])["params"])()
+    # weight-bound decode reads bf16 weights; keep one bf16 copy in HBM
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        params)
+
+    common = dict(max_new=N, eos_idx=cfg.eos_idx, pad_idx=cfg.padding_idx)
+    greedy = jax.jit(lambda: sample_decode(
+        model, params, prompt, prompt_mask, greedy=True, **common))
+    spec = jax.jit(lambda: speculative_greedy_decode(
+        model, params, prompt, prompt_mask, draft_len=8, **common))
+
+    def timed(label, fn):
+        out = fn()
+        np.asarray(out["tokens"])
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn()
+            np.asarray(out["tokens"])
+            best = min(best, time.perf_counter() - t0)
+        rate = B * N / best
+        print(f"{label:28s} {rate:8.0f} tok/s  ({best*1000:.0f} ms)")
+        return out, best
+
+    out_g, t_g = timed("greedy", greedy)
+    out_s, t_s = timed("speculative (draft 8)", spec)
+    same = np.array_equal(np.asarray(out_g["tokens"]),
+                          np.asarray(out_s["tokens"]))
+    print(json.dumps({
+        "metric": "decode_1b", "greedy_tok_s": round(B * N / t_g, 1),
+        "speculative_tok_s": round(B * N / t_s, 1),
+        "speculative_speedup": round(t_g / t_s, 2),
+        "outputs_identical": bool(same)}))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--train", action="store_true")
+    parser.add_argument("--decode", action="store_true")
+    parser.add_argument("--steps", type=int, default=10)
+    parser.add_argument("--batch-tokens", type=int, default=8192)
+    parser.add_argument("--max-new", type=int, default=64)
+    parser.add_argument("--batch", type=int, default=8)
+    args = parser.parse_args()
+
+    from pasero_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
+    if args.train:
+        bench_train(args.steps, args.batch_tokens)
+    if args.decode:
+        bench_decode(args.max_new, args.batch)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+"""End-to-end quality: the deen-mini recipe trains to a real BLEU.
+
+The round-2 review's 'quality-parity evidence' gap: no committed recipe
+had ever produced a BLEU number. This trains a shortened CPU variant of
+examples/deen-mini (authored real German-English, unseen-template test
+split) through the actual CLI and asserts the score floor. Slow (~10-15
+min on a 1-core host) — the full recipe with the pinned expected_scores
+runs on the TPU chip (examples/deen-mini/README.md).
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO,
+       "XLA_FLAGS": "--xla_force_host_platform_device_count=1"}
+
+
+def run(args, cwd, timeout=2400):
+    result = subprocess.run([sys.executable, "-m"] + args, cwd=cwd, env=ENV,
+                            timeout=timeout, capture_output=True, text=True)
+    assert result.returncode == 0, \
+        f"{args[:2]} failed:\n{result.stdout[-3000:]}\n{result.stderr[-3000:]}"
+    return result
+
+
+@pytest.mark.slow
+def test_deen_mini_trains_to_bleu(tmp_path):
+    data = os.path.join(REPO, "examples", "deen-mini", "data")
+    if not os.path.exists(os.path.join(data, "dict.txt")):
+        subprocess.run([sys.executable,
+                        os.path.join(REPO, "examples", "deen-mini",
+                                     "prepare.py")], check=True, timeout=300)
+        run(["cli.tokenizer_cli", "build-tokenizer", "train.de", "train.en",
+             "-o", "bpecodes", "--size", "4000", "--dict-path", "dict.txt",
+             "--dict-min-count", "1"], data)
+
+    model_dir = str(tmp_path / "model")
+    run(["cli.train", "--data-dir", data, "-o", model_dir,
+         "-s", "de", "-t", "en", "--arch", "transformer_small",
+         "--encoder-layers", "2", "--decoder-layers", "2",
+         "--embed-dim", "128", "--encoder-ffn-dim", "256",
+         "--decoder-ffn-dim", "256", "--encoder-attention-heads", "4",
+         "--decoder-attention-heads", "4", "--max-steps", "700",
+         "--valid-interval", "700", "--log-interval", "100",
+         "--batch-size", "3072", "--lr", "0.001", "--warmup", "200",
+         "--seed", "1", "--dataset-type", "debug", "--buffer-size", "3000",
+         "--dropout", "0.1", "--beam-size", "2", "--max-output-len", "48"])
+
+    out = run(["cli.decode", model_dir,
+               "-i", os.path.join(data, "test.de"),
+               "-r", os.path.join(data, "test.en"),
+               "--metrics", "bleu", "--beam-size", "2",
+               "--max-output-len", "48"])
+    text = out.stdout + out.stderr
+    bleu = None
+    for line in text.splitlines():
+        if "bleu" in line.lower():
+            for tok in line.replace("=", " ").split():
+                try:
+                    bleu = float(tok)
+                except ValueError:
+                    continue
+    assert bleu is not None, f"no BLEU in decode output:\n{text[-2000:]}"
+    # a 2-layer/128-dim model after 700 CPU steps: comfortably above this
+    # floor on the unseen-template test set (chip run scores much higher)
+    assert bleu >= 10.0, f"BLEU {bleu} below the 10.0 floor"
