@@ -372,8 +372,11 @@ class Trainer:
             grad_step, in_shardings=(self.param_shardings, batch_spec, repl),
             out_shardings=(self.param_shardings, repl))
         self._accumulate = jax.jit(accumulate, donate_argnums=(0, 1))
-        self._apply_step = jax.jit(
-            apply_step, donate_argnums=(0, 1))
+        # donate only the TrainState: its params/opt_state buffers alias the
+        # new state's 1:1.  Donating grads too is dead weight — every
+        # param-shaped output is already claimed by a state buffer, so XLA
+        # warns "donated buffers were not usable" for each grad leaf.
+        self._apply_step = jax.jit(apply_step, donate_argnums=(0,))
         self._valid_step = jax.jit(
             valid_step, in_shardings=(self.param_shardings, batch_spec),
             out_shardings=repl)
