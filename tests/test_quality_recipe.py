@@ -9,6 +9,7 @@ runs on the TPU chip (examples/deen-mini/README.md).
 """
 
 import os
+import re
 import subprocess
 import sys
 
@@ -19,7 +20,7 @@ ENV = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO,
        "XLA_FLAGS": "--xla_force_host_platform_device_count=1"}
 
 
-def run(args, cwd, timeout=2400):
+def run(args, cwd=REPO, timeout=2400):
     result = subprocess.run([sys.executable, "-m"] + args, cwd=cwd, env=ENV,
                             timeout=timeout, capture_output=True, text=True)
     assert result.returncode == 0, \
@@ -56,15 +57,9 @@ def test_deen_mini_trains_to_bleu(tmp_path):
                "--metrics", "bleu", "--beam-size", "2",
                "--max-output-len", "48"])
     text = out.stdout + out.stderr
-    bleu = None
-    for line in text.splitlines():
-        if "bleu" in line.lower():
-            for tok in line.replace("=", " ").split():
-                try:
-                    bleu = float(tok)
-                except ValueError:
-                    continue
-    assert bleu is not None, f"no BLEU in decode output:\n{text[-2000:]}"
+    match = re.search(r"\bbleu (\d+(?:\.\d+)?)", text)
+    assert match, f"no BLEU in decode output:\n{text[-2000:]}"
+    bleu = float(match.group(1))
     # a 2-layer/128-dim model after 700 CPU steps: comfortably above this
     # floor on the unseen-template test set (chip run scores much higher)
     assert bleu >= 10.0, f"BLEU {bleu} below the 10.0 floor"
