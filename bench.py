@@ -51,9 +51,9 @@ def main():
     opt_state = tx.init(params)
 
     def loss_fn(params, batch, dropout_rng):
-        # the production loss path: fused chunked vocab-head CE inside the
-        # model (chunked_cross_entropy) — the fp32 (B,T,V) logits never
-        # hit HBM (cfg.fused_ce, default on)
+        # the production loss path: flash CE inside the model
+        # (ops/fused_ce.py pallas kernel on TPU) — the fp32 (B,T,V)
+        # logits never hit HBM (cfg.fused_ce, default on)
         targets = shift_targets(batch["decoder_input"], cfg.padding_idx)
         out = model.apply({"params": params}, deterministic=False,
                           targets=targets,

@@ -59,13 +59,19 @@ class TransformerConfig(Config):
     tied_output_projection: bool = argument(
         True, help="tie decoder embedding and output projection")
     fused_ce: bool = argument(
-        True, help="compute the training loss in vocab-head chunks so the "
-                   "fp32 (B, T, V) logits tensor never hits HBM "
-                   "(chunked_cross_entropy; ~10%% faster steps). Disable to "
-                   "force the full-logits loss path")
+        True, help="compute the training loss without materializing the "
+                   "fp32 (B, T, V) logits tensor in HBM (ops/fused_ce.py "
+                   "flash kernel on TPU, chunked_cross_entropy elsewhere). "
+                   "Disable to force the full-logits loss path")
+    ce_impl: str = argument(
+        "auto", choices=["auto", "flash", "chunked"],
+        help="--fused-ce implementation: 'flash' = Pallas online-logsumexp "
+             "kernel (logits tiles live only in VMEM, fused backward), "
+             "'chunked' = lax.scan over sequence chunks, 'auto' = flash on "
+             "TPU, chunked elsewhere")
     ce_chunks: int = argument(
-        8, help="sequence chunks for --fused-ce (more chunks = less live "
-                "logits memory, slightly more scan overhead)")
+        8, help="sequence chunks for --ce-impl chunked (more chunks = less "
+                "live logits memory, slightly more scan overhead)")
     activation_fn: str = argument(
         "relu", choices=["relu", "gelu", "gelu_tanh", "swiglu", "geglu"],
         help="FFN activation")

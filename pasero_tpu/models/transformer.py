@@ -464,6 +464,17 @@ class TransformerDecoder(nn.Module):
                 lin(x[:, :1])  # instantiate; the unused dot is DCE'd
                 boxed = lin.variables["params"]["kernel"]
                 kernel = getattr(boxed, "value", boxed)
+            impl = getattr(cfg, "ce_impl", "auto")
+            if impl == "auto":
+                impl = ("flash" if jax.default_backend() == "tpu"
+                        else "chunked")
+            if impl == "flash":
+                from ..ops.fused_ce import fused_cross_entropy
+                Bx, Tx, Ex = x.shape
+                return fused_cross_entropy(
+                    x.reshape(Bx * Tx, Ex), kernel,
+                    ce_targets.reshape(-1), ce_weights.reshape(-1),
+                    cfg.label_smoothing or 0.0)
             return chunked_cross_entropy(
                 x, kernel, ce_targets, ce_weights,
                 label_smoothing=cfg.label_smoothing or 0.0,

@@ -273,6 +273,11 @@ class Trainer:
         fused_ce = (getattr(model, "supports_fused_ce", False)
                     and getattr(model.cfg, "fused_ce", True)
                     and self.pp_size == 1)
+        if fused_ce and getattr(model.cfg, "ce_impl", "auto") == "auto" and \
+                self.mesh is not None and self.mesh.size > 1:
+            # the flash-CE pallas kernel is not GSPMD-partitioned; on a
+            # sharded mesh resolve 'auto' to the scan-chunked implementation
+            model.cfg.ce_impl = "chunked"
 
         def loss_fn(params, batch, dropout_rng):
             targets = shift_targets(batch["decoder_input"], pad_idx)
