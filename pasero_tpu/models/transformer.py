@@ -285,14 +285,20 @@ class TransformerEncoder(nn.Module):
 
         layer_outputs = []
         for i in range(cfg.encoder_layers):
-            layer = TransformerEncoderLayer(cfg, layer_id=i, kernel=self.kernel,
-                                            dtype=self.dtype, name=f"layers_{i}")
             if cfg.checkpoint_activations and not return_layers:
-                layer = nn.remat(TransformerEncoderLayer, static_argnums=(4, 5))(
+                # remat: recompute the layer in backward instead of saving
+                # activations (the reference's --checkpoint-activations);
+                # statics (deterministic, return_weights) passed positionally
+                # — nn.remat's static_argnums count `self` at index 0
+                layer = nn.remat(TransformerEncoderLayer, static_argnums=(5, 6))(
                     cfg, layer_id=i, kernel=self.kernel, dtype=self.dtype,
                     name=f"layers_{i}")
                 x = layer(x, attn_mask, bias, positions, deterministic, False)
             else:
+                layer = TransformerEncoderLayer(cfg, layer_id=i,
+                                                kernel=self.kernel,
+                                                dtype=self.dtype,
+                                                name=f"layers_{i}")
                 x = layer(x, mask=attn_mask, bias=bias, positions=positions,
                           deterministic=deterministic)
             if self.num_adapters and adapter_ids is not None:
@@ -414,26 +420,34 @@ class TransformerDecoder(nn.Module):
 
         layer_outputs, self_attn_maps, cross_attn_maps = [], [], []
         for i in range(cfg.decoder_layers):
-            layer_cls = TransformerDecoderLayer
-            layer = layer_cls(cfg, layer_id=i,
-                              has_cross_attention=self.has_encoder,
-                              self_cache_len=self.self_cache_len,
-                              cross_cache_len=self.cross_cache_len,
-                              kernel=self.kernel, dtype=self.dtype,
-                              name=f"layers_{i}")
+            layer_kwargs = dict(layer_id=i,
+                                has_cross_attention=self.has_encoder,
+                                self_cache_len=self.self_cache_len,
+                                cross_cache_len=self.cross_cache_len,
+                                kernel=self.kernel, dtype=self.dtype,
+                                name=f"layers_{i}")
             if cfg.checkpoint_activations and not decode and not return_weights:
-                layer = nn.remat(layer_cls, static_argnums=(7, 8, 9))(
-                    cfg, layer_id=i, has_cross_attention=self.has_encoder,
-                    self_cache_len=self.self_cache_len,
-                    cross_cache_len=self.cross_cache_len,
-                    kernel=self.kernel, dtype=self.dtype, name=f"layers_{i}")
-            result = layer(x, encoder_out=encoder_out, self_mask=self_mask,
-                           cross_mask=cross_mask, self_bias=self_bias,
-                           positions=positions,
-                           encoder_positions=encoder_positions, decode=decode,
-                           deterministic=deterministic,
-                           return_weights=return_weights,
-                           beam_lineage=beam_lineage)
+                # remat: statics (decode, deterministic, return_weights) must
+                # be positional for jax.checkpoint's static_argnums
+                # statics = decode/deterministic/return_weights, counting
+                # `self` at index 0 (nn.remat convention); beam_lineage is
+                # always None here (decode is excluded from remat above)
+                layer = nn.remat(TransformerDecoderLayer,
+                                 static_argnums=(8, 9, 10))(cfg,
+                                                            **layer_kwargs)
+                result = layer(x, encoder_out, self_mask, cross_mask,
+                               self_bias, positions, encoder_positions,
+                               decode, deterministic, return_weights,
+                               beam_lineage)
+            else:
+                layer = TransformerDecoderLayer(cfg, **layer_kwargs)
+                result = layer(x, encoder_out=encoder_out, self_mask=self_mask,
+                               cross_mask=cross_mask, self_bias=self_bias,
+                               positions=positions,
+                               encoder_positions=encoder_positions,
+                               decode=decode, deterministic=deterministic,
+                               return_weights=return_weights,
+                               beam_lineage=beam_lineage)
             if return_weights:
                 x, sw, cw = result
                 self_attn_maps.append(sw)

@@ -22,9 +22,13 @@ Usage: python scripts/bench_1b.py --train|--decode [--steps N]
 import argparse
 import functools
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 V5E_BF16_PEAK = 197e12  # bf16 FLOPs/s per v5e chip
 

@@ -204,3 +204,48 @@ def test_lora_params_created():
     names = [jax.tree_util.keystr(path) for path, _ in flat]
     assert any("lora_down" in n for n in names)
     assert any("lora_up" in n for n in names)
+
+
+@pytest.mark.parametrize("arch,task", [
+    ("transformer_small", "translation"),      # encoder remat + decoder remat
+    ("llama_7b", "language_modeling"),          # decoder-only remat
+])
+def test_checkpoint_activations_parity(arch, task):
+    """--checkpoint-activations (remat) must not change loss or grads."""
+    overrides = {"attention_heads_kv": 2} if arch == "llama_7b" else {}
+    cfg = small_cfg(arch, task, **overrides)
+    src, dec = make_batch(pad=max(cfg.padding_idx, 0))
+    kwargs = dict(decoder_input=dec, targets=dec)
+    if cfg.model_type != "decoder":
+        kwargs["src_tokens"] = src
+
+    import copy
+    cfg_remat = copy.deepcopy(cfg)
+    cfg_remat.checkpoint_activations = True
+    # fp32 compute: remat must be *exactly* the same math (bf16 only adds
+    # fusion-order rounding noise that would mask a mis-wired argument)
+    m_plain = Transformer(cfg, src_vocab_size=50, dtype=jnp.float32)
+    m_remat = Transformer(cfg_remat, src_vocab_size=50, dtype=jnp.float32)
+    variables = m_plain.init(RNG, **kwargs)
+
+    def loss(m):
+        def f(params):
+            return m.apply({"params": params}, **kwargs)["loss_sum"]
+        return jax.value_and_grad(f)(variables["params"])
+
+    l0, g0 = loss(m_plain)
+    l1, g1 = loss(m_remat)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1e-4, atol=1e-5)
+
+    # the bf16 default still runs and matches on loss
+    mb0 = Transformer(cfg, src_vocab_size=50)
+    mb1 = Transformer(cfg_remat, src_vocab_size=50)
+    vb = mb0.init(RNG, **kwargs)
+    lb0 = mb0.apply(vb, **kwargs)["loss_sum"]
+    lb1 = mb1.apply(vb, **kwargs)["loss_sum"]
+    np.testing.assert_allclose(float(lb0), float(lb1), rtol=1e-5)
