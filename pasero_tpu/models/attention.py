@@ -352,6 +352,17 @@ class MultiheadAttention(nn.Module):
             cached_v.value = jax.lax.dynamic_update_slice(
                 cached_v.value, v, (0, 0, i, 0))
         index.value = i + Sk
+        # callers size their kv mask/bias for the tokens they will decode;
+        # the cache may be longer (e.g. one buffer shared between greedy and
+        # speculative decode) — pad to cache_len, the `valid` written-slot
+        # mask below gates whatever the caller did not cover
+        if mask is not None and mask.shape[-1] < self.cache_len:
+            pad = self.cache_len - mask.shape[-1]
+            mask = jnp.pad(mask, ((0, 0), (0, 0), (0, 0), (0, pad)),
+                           constant_values=True)
+        if bias is not None and bias.shape[-1] < self.cache_len:
+            pad = self.cache_len - bias.shape[-1]
+            bias = jnp.pad(bias, ((0, 0), (0, 0), (0, 0), (0, pad)))
         slots = jnp.arange(self.cache_len)
         valid = slots[None, :] < (i + Sk)                       # (1, L)
         kv_pos = positions[:, -1:] - (i + Sk - 1) + slots[None]  # (B, L) absolute

@@ -19,3 +19,29 @@ def apply_platform_env() -> None:
             jax.config.update("jax_platforms", wanted)
         except Exception:
             pass
+    enable_compilation_cache()
+
+
+def enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache (billion-parameter decode graphs
+    take tens of minutes to compile on a 1-core host; the cache makes any
+    rerun of an unchanged graph near-instant). Opt out with
+    PASERO_COMPILE_CACHE=0 or redirect with PASERO_COMPILE_CACHE=<dir>."""
+    import jax
+
+    choice = os.environ.get("PASERO_COMPILE_CACHE", "")
+    if choice == "0":
+        return
+    if not choice and "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        # XLA:CPU persists AOT machine code whose feature baseline can
+        # differ from the executing host (SIGILL risk + noisy loader
+        # errors); CPU compiles are cheap anyway. Opt in explicitly with
+        # PASERO_COMPILE_CACHE=<dir> if wanted.
+        return
+    cache_dir = choice or os.path.expanduser("~/.cache/pasero_tpu/xla")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass

@@ -116,18 +116,20 @@ def bench_decode(max_new: int, batch: int):
         params)
 
     common = dict(max_new=N, eos_idx=cfg.eos_idx, pad_idx=cfg.padding_idx)
-    greedy = jax.jit(lambda: sample_decode(
-        model, params, prompt, prompt_mask, greedy=True, **common))
-    spec = jax.jit(lambda: speculative_greedy_decode(
-        model, params, prompt, prompt_mask, draft_len=8, **common))
+    # params MUST be a jit argument: closing over them bakes 2.2 GB of
+    # weights into the graph as constants (measured: >30 min compile)
+    greedy = jax.jit(lambda p: sample_decode(
+        model, p, prompt, prompt_mask, greedy=True, **common))
+    spec = jax.jit(lambda p: speculative_greedy_decode(
+        model, p, prompt, prompt_mask, draft_len=8, **common))
 
     def timed(label, fn):
-        out = fn()
+        out = fn(params)
         np.asarray(out["tokens"])
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            out = fn()
+            out = fn(params)
             np.asarray(out["tokens"])
             best = min(best, time.perf_counter() - t0)
         rate = B * N / best

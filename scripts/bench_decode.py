@@ -62,13 +62,13 @@ def main(argv=None):
                                             method=model_cls.encode)
 
     def timed(label, fn):
-        out = fn()                      # compile + warm
+        out = fn(params)                # compile + warm
         tokens = int(np.asarray(out["tokens"]).size and
                      np.asarray(out["lengths"]).reshape(B, -1)[:, 0].sum())
         best = float("inf")
         for _ in range(args.repeats):
             t0 = time.perf_counter()
-            out = fn()
+            out = fn(params)
             # axon's block_until_ready can return early; a device->host
             # transfer forces completion
             np.asarray(out["tokens"])
@@ -80,14 +80,16 @@ def main(argv=None):
 
     common = dict(max_new=N, eos_idx=eos, pad_idx=pad,
                   encoder_out=encoder_out, encoder_mask=encoder_mask)
-    greedy = jax.jit(lambda: sample_decode(model, params, prompt, prompt_mask,
-                                           greedy=True, **common))
-    beam_permute = jax.jit(lambda: beam_search(model, params, prompt,
-                                               prompt_mask, beam_size=K,
-                                               lineage=False, **common))
-    beam_lineage = jax.jit(lambda: beam_search(model, params, prompt,
-                                               prompt_mask, beam_size=K,
-                                               lineage=True, **common))
+    # params as a jit argument (closing over them inlines the weights as
+    # graph constants — slow compile, unrepresentative executable)
+    greedy = jax.jit(lambda p: sample_decode(model, p, prompt, prompt_mask,
+                                             greedy=True, **common))
+    beam_permute = jax.jit(lambda p: beam_search(model, p, prompt,
+                                                 prompt_mask, beam_size=K,
+                                                 lineage=False, **common))
+    beam_lineage = jax.jit(lambda p: beam_search(model, p, prompt,
+                                                 prompt_mask, beam_size=K,
+                                                 lineage=True, **common))
     timed("greedy", greedy)
     permute_rate = timed(f"beam-{K} cache permute", beam_permute)
     lineage_rate = timed(f"beam-{K} lineage (no reorder)", beam_lineage)

@@ -79,6 +79,33 @@ def test_greedy_matches_naive_decoder_only(arch, task):
         assert got == exp, f"row {i}: {got} != {exp}"
 
 
+def test_greedy_with_oversized_cache():
+    """The cache may be longer than P + max_new (e.g. one model instance
+    shared between greedy and speculative decode sizes its cache for the
+    speculative chunk); the decode mask is padded to the cache length
+    inside attention (regression: bench_1b --decode crashed on this)."""
+    cfg = small_cfg("llama_7b", "language_modeling", attention_heads_kv=2)
+    pad, eos = max(cfg.padding_idx, 0), cfg.eos_idx
+    prompts = [[5, 6, 7, 8, 9], [10, 11, 12]]
+    P = max(len(p) for p in prompts)
+    right = np.full((2, P), pad, np.int32)
+    mask = np.zeros((2, P), bool)
+    for i, p in enumerate(prompts):
+        right[i, :len(p)] = p
+        mask[i, :len(p)] = True
+    model = Transformer(cfg, src_vocab_size=V,
+                        self_cache_len=P + MAX_NEW + 9)   # oversized
+    params = model.init(RNG, decoder_input=jnp.asarray(right))["params"]
+    left_tokens, left_mask = left_align(right, mask, pad)
+    out = sample_decode(model, params, jnp.asarray(left_tokens),
+                        jnp.asarray(left_mask), max_new=MAX_NEW,
+                        eos_idx=eos, pad_idx=pad, greedy=True)
+    expected = naive_greedy(model, params, prompts, MAX_NEW, eos)
+    for i, exp in enumerate(expected):
+        got = [int(t) for t in np.asarray(out["tokens"][i])][:len(exp)]
+        assert got == exp, f"row {i}: {got} != {exp}"
+
+
 def test_greedy_matches_naive_encoder_decoder():
     cfg = small_cfg("transformer_small", "translation")
     pad, eos, bos = cfg.padding_idx, cfg.eos_idx, cfg.bos_idx
