@@ -269,6 +269,31 @@ def _gather_beams(tree, beam_indices, B, K):
     return jax.tree_util.tree_map_with_path(gather, tree)
 
 
+def _topk_wide(x, k, block=256):
+    """Exact top-k over a wide axis via block-max filtering.
+
+    TPU ``top_k`` over a (R, 32k) vocab axis runs ~5x above its read
+    roofline (profiled: 0.54 ms of a 3.7 ms beam step).  This computes a
+    per-256-block max (a roofline-speed VPU reduce), takes the k blocks
+    with the largest maxima, and runs the final top-k over only k*256
+    candidates.  Exactness: any global top-k element's block max is >= the
+    global k-th value, and every excluded block's max is <= the k selected
+    maxima — so the k largest VALUES always survive filtering (on exact
+    value ties the winning index may differ from lax.top_k's lowest-index
+    rule, as with any tournament reduction).
+    """
+    R, V = x.shape
+    nb = V // block
+    if V % block or nb < 4 or k * block >= V:
+        return jax.lax.top_k(x, k)          # nothing to win
+    xb = x.reshape(R, nb, block)
+    _, bidx = jax.lax.top_k(xb.max(axis=-1), k)            # (R, k)
+    cand = jnp.take_along_axis(xb, bidx[:, :, None], axis=1)
+    vals, flat = jax.lax.top_k(cand.reshape(R, k * block), k)
+    sel_block = jnp.take_along_axis(bidx, flat // block, axis=1)
+    return vals, sel_block * block + flat % block
+
+
 def beam_search(
     model, params, prompt, prompt_mask, *,
     beam_size: int, max_new: int, eos_idx: int, pad_idx: int,
@@ -290,15 +315,17 @@ def beam_search(
     # no-reorder beam attention (attention.lineage_attention): instead of
     # permuting the self-attention KV cache at every step, track each logical
     # beam's physical cache row per slot and resolve the lineage inside
-    # attention.  Measured on a v5e chip (scripts/bench_decode.py,
-    # transformer-base B=64 beam-5): with the fusable cache write, lineage
-    # ties the flat-one-hot permute at short caches (4.4 ms/call at 65
-    # slots) and wins 1.7x at long ones (10.0 vs 17.0 ms at 320 — the
-    # permute's cost scales with cache length), so it is the default
-    # whenever the decoder has the beam_lineage hook (the LSTM hybrid's
-    # has none); lineage=False forces the permute path.
+    # attention.  Measured on a v5e chip (scripts/bench_decode.py +
+    # bench_lineage_step.py, transformer-base B=64 beam-5): lineage's
+    # masked softmax over the (physical-row, slot) axes costs ~0.27
+    # ms/layer of extra VPU/HBM work — a CONSTANT in cache length — while
+    # the flat-one-hot permute's cost scales with cache bytes (ties at
+    # ~65 slots, loses 1.7x at 320).  Default: permute for short caches,
+    # lineage past ~128 slots; lineage=True/False forces a path (the LSTM
+    # hybrid has no beam_lineage hook and always permutes).
     if lineage is None:
-        lineage = True
+        cache_slots = getattr(model, "self_cache_len", 0) or (P + max_new)
+        lineage = cache_slots > 128
     use_lineage = (lineage and K > 1
                    and getattr(model, "supports_beam_lineage", False))
 
@@ -371,7 +398,7 @@ def beam_search(
         # one-stage top_k over (B, K*V) needed a layout-changing copy of the
         # 84 MB candidate tensor plus a wider partial-reduce — together
         # ~1.2 of the 4.4 ms/call at B=64 K=5 V=32k (profiled on v5e)
-        row_scores, row_idx = jax.lax.top_k(cand.reshape(B * K, V), 2 * K)
+        row_scores, row_idx = _topk_wide(cand.reshape(B * K, V), 2 * K)
         top_scores, pos = jax.lax.top_k(row_scores.reshape(B, K * 2 * K),
                                         2 * K)               # (B, 2K)
         beam_idx = pos // (2 * K)

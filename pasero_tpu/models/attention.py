@@ -209,6 +209,11 @@ class MultiheadAttention(nn.Module):
 
         if (beam_lineage is not None and decode and self.cache_len > 0
                 and not self.cross_attention):
+            # XLA formulation, deliberately: two Pallas variants (grids
+            # (B, H) and (B,) with static head/row loops) measured 6.1-6.8
+            # ms/call vs 3.7 here on v5e — per-program overhead and (K, L)
+            # sub-tile VPU work swamp the saved HBM round trips at decode's
+            # tiny shapes (see PERFORMANCE.md, round-3 notes)
             if kv_heads != num_heads:
                 k = jnp.repeat(k, num_heads // kv_heads, axis=1)
                 v = jnp.repeat(v, num_heads // kv_heads, axis=1)
@@ -252,8 +257,13 @@ class MultiheadAttention(nn.Module):
         if kernel == "auto":
             # the Pallas flash kernel never materializes the (Sq, Sk) score
             # matrix: at long lengths the XLA path runs out of HBM (measured:
-            # S=8192 B=4 H=8 OOMs on a 16G chip, flash runs in 104 ms) while
-            # at short lengths XLA's fusion is on par or faster
+            # S=8192 B=4 H=8 OOMs on a 16G chip, flash runs in 104 ms).
+            # The microbench crossover (bench_flash.py, fwd+bwd, causal,
+            # B=4 H=8 D=64) has flash winning from S=1024 up — but
+            # end-to-end llama_1b training at S=2048 (GQA 32/4 heads,
+            # remat) measured 6% SLOWER with flash than XLA, so the auto
+            # switch stays at the conservative 4096 where the win is
+            # universal and XLA's alternative is OOM-bound anyway
             long_seq = q.shape[2] * k.shape[2] >= 4096 * 4096
             kernel = "flash" if (long_seq and dropout_rng is None) else "xla"
         # flash has no attention-dropout path; fall back when dropout is live

@@ -105,12 +105,40 @@ class T5Bias(struct.PyTreeNode):
     max_distance: int = struct.field(pytree_node=False, default=128)
 
 
+def _table_head_col(table_ref, h):
+    """Column ``h`` of the in-VMEM (nb, H) table as an (nb, 1) vector.
+
+    The whole table rides into every program ((nb, 1) column blocks are
+    not lowerable: a block's trailing dims must be lane/sublane-aligned
+    or equal to the array's — only enforced on real TPU, which is how
+    the column-block form passed interpreter tests); the head select is
+    a one-hot matmul since Mosaic has no dynamic lane indexing."""
+    nb, H = table_ref.shape
+    oh = (jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0) == h
+          ).astype(jnp.float32)
+    return jax.lax.dot_general(table_ref[...].astype(jnp.float32), oh,
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _t5_tile(table_col, q_pos, k_pos, bidirectional: bool, nb: int,
              maxd: int):
     """Bias tile (BQ, BK) for one head from its (nb, 1) table column.
 
     Bucket math mirrors models/positional.py:t5_bucket exactly; the gather
-    is a one-hot matmul (MXU-friendly; TPU has no vector gather)."""
+    is a static unroll of per-bucket selects — everything stays a 2D
+    (BQ, BK) vector (the one-hot-matmul formulation needs
+    (BQ*BK, nb) <-> (BQ, BK) shape casts Mosaic cannot lower; TPU has no
+    vector gather either way)."""
+    bucket = _t5_bucket(q_pos, k_pos, bidirectional, nb, maxd)
+    tile = jnp.zeros(bucket.shape, jnp.float32)
+    for b in range(nb):                                       # static
+        tile = tile + jnp.where(bucket == b, table_col[b, 0], 0.0)
+    return tile
+
+
+def _t5_bucket(q_pos, k_pos, bidirectional: bool, nb: int, maxd: int):
+    """(BQ, BK) int32 bucket ids (models/positional.py:t5_bucket)."""
     rel = q_pos - k_pos
     n = -rel
     nb_eff = nb
@@ -128,40 +156,7 @@ def _t5_tile(table_col, q_pos, k_pos, bidirectional: bool, nb: int,
     val_large = jnp.minimum(
         max_exact + (log_ratio * (nb_eff - max_exact)).astype(jnp.int32),
         nb_eff - 1)
-    bucket = ret + jnp.where(is_small, n, val_large)          # (BQ, BK)
-    onehot = (bucket[..., None] == jax.lax.broadcasted_iota(
-        jnp.int32, bucket.shape + (nb,), 2)).astype(jnp.float32)
-    BQ, BK = bucket.shape
-    tile = jax.lax.dot_general(onehot.reshape(BQ * BK, nb),
-                               table_col.astype(jnp.float32),
-                               (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    return tile.reshape(BQ, BK)
-
-
-def _t5_onehot(q_pos, k_pos, bidirectional: bool, nb: int, maxd: int):
-    """(BQ*BK, nb) one-hot bucket matrix (for the demb backward)."""
-    rel = q_pos - k_pos
-    n = -rel
-    nb_eff = nb
-    ret = jnp.zeros_like(n)
-    if bidirectional:
-        nb_eff = nb // 2
-        ret = (n < 0).astype(jnp.int32) * nb_eff
-        n = jnp.abs(n)
-    else:
-        n = jnp.maximum(n, 0)
-    max_exact = nb_eff // 2
-    is_small = n < max_exact
-    log_ratio = jnp.log(n.astype(jnp.float32) / max_exact + 1e-6) / \
-        math.log(maxd / max_exact)
-    val_large = jnp.minimum(
-        max_exact + (log_ratio * (nb_eff - max_exact)).astype(jnp.int32),
-        nb_eff - 1)
-    bucket = ret + jnp.where(is_small, n, val_large)
-    onehot = (bucket[..., None] == jax.lax.broadcasted_iota(
-        jnp.int32, bucket.shape + (nb,), 2)).astype(jnp.float32)
-    return onehot.reshape(bucket.shape[0] * bucket.shape[1], nb)
+    return ret + jnp.where(is_small, n, val_large)            # (BQ, BK)
 
 
 def _bias_rows(bias, B: int, H: int):
@@ -334,6 +329,11 @@ def _fwd_stream_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, out_ref,
     """
     qb = pl.program_id(1)
     kb = pl.program_id(2)
+    # head-column select hoisted OUT of the pl.when body: program_id
+    # inside a cond sub-jaxpr cannot be resolved by the CPU interpreter
+    t5_col = (_table_head_col(bias_ref, pl.program_id(0)
+                              % bias_ref.shape[1])
+              if t5 is not None else None)
 
     @pl.when(kb == 0)
     def _init():
@@ -360,7 +360,7 @@ def _fwd_stream_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, out_ref,
         k_pos = kb * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
         if t5 is not None:
-            s = s + _t5_tile(bias_ref[...], q_pos, k_pos, *t5)
+            s = s + _t5_tile(t5_col, q_pos, k_pos, *t5)
         elif bias_ref is not None:
             s = s + bias_ref[0].astype(jnp.float32)
         ok = jnp.broadcast_to((mask_ref[0, 0] > 0)[None, :], s.shape)
@@ -413,10 +413,12 @@ def _fwd_stream(q, k, v, kv_mask, bias, scale, causal, window, t5=None):
     kw = dict(scale=scale, causal=causal, window=window,
               num_k_blocks=num_k_blocks, block_q=block_q, block_k=block_k)
     if t5 is not None:
-        # bias is the (nb, H) table; each program reads its head's column
+        # bias is the (nb, H) table; the whole (tiny) table rides into
+        # every program and the head column is selected in-kernel
+        # (_table_head_col — column blocks are not lane-lowerable)
         nb = bias.shape[0]
-        in_specs.append(pl.BlockSpec((nb, 1),
-                                     lambda bh, qb, kb: (0, bh % H),
+        in_specs.append(pl.BlockSpec((nb, H),
+                                     lambda bh, qb, kb: (0, 0),
                                      **common))
         args.append(bias.astype(jnp.float32))
         kernel = functools.partial(_fwd_stream_kernel, **kw, t5=t5)
@@ -464,6 +466,11 @@ def _bwd_dq_stream_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, do_ref,
                           block_q, block_k, t5=None):
     qb = pl.program_id(1)
     kb = pl.program_id(2)
+    # head-column select hoisted OUT of the pl.when body: program_id
+    # inside a cond sub-jaxpr cannot be resolved by the CPU interpreter
+    t5_col = (_table_head_col(bias_ref, pl.program_id(0)
+                              % bias_ref.shape[1])
+              if t5 is not None else None)
 
     @pl.when(kb == 0)
     def _init():
@@ -488,7 +495,7 @@ def _bwd_dq_stream_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, do_ref,
         k_pos = kb * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
         if t5 is not None:
-            s = s + _t5_tile(bias_ref[...], q_pos, k_pos, *t5)
+            s = s + _t5_tile(t5_col, q_pos, k_pos, *t5)
         elif bias_ref is not None:
             s = s + bias_ref[0].astype(jnp.float32)
         ok = jnp.broadcast_to((mask_ref[0, 0] > 0)[None, :], s.shape)
@@ -515,6 +522,11 @@ def _bwd_dkv_stream_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, do_ref,
                            num_q_blocks, block_q, block_k, t5=None):
     kb = pl.program_id(1)
     qb = pl.program_id(2)
+    # head-column select hoisted OUT of the pl.when body: program_id
+    # inside a cond sub-jaxpr cannot be resolved by the CPU interpreter
+    t5_col = (_table_head_col(bias_ref, pl.program_id(0)
+                              % bias_ref.shape[1])
+              if t5 is not None else None)
 
     @pl.when(qb == 0)
     def _init():
@@ -540,7 +552,7 @@ def _bwd_dkv_stream_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, do_ref,
         k_pos = kb * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
         if t5 is not None:
-            s = s + _t5_tile(bias_ref[...], q_pos, k_pos, *t5)
+            s = s + _t5_tile(t5_col, q_pos, k_pos, *t5)
         elif bias_ref is not None:
             s = s + bias_ref[0].astype(jnp.float32)
         ok = jnp.broadcast_to((mask_ref[0, 0] > 0)[None, :], s.shape)
@@ -589,7 +601,7 @@ def _bwd_stream(scale, causal, window, q, k, v, kv_mask, bias, do, lse, delta,
         bias_r = bias.astype(jnp.float32)       # the (nb, H) table
         nb = bias.shape[0]
         table_spec = lambda order: pl.BlockSpec(
-            (nb, 1), (lambda bh, x, y: (0, bh % H)), **common)
+            (nb, H), (lambda bh, x, y: (0, 0)), **common)
     else:
         bias_r, brow = _bias_rows(bias, B, H) if bias is not None \
             else (None, None)
@@ -889,6 +901,7 @@ def _demb_kernel(q_ref, k_ref, v_ref, mask_ref, table_ref, do_ref, lse_ref,
     (1, nb) output row are contiguous, so the read-modify-write
     accumulation is exact. demb[h, b'] = sum over (q, k) pairs in bucket b'
     of dS(q, k)."""
+    h = pl.program_id(0)
     b = pl.program_id(1)
     qb = pl.program_id(2)
     kb = pl.program_id(3)
@@ -915,7 +928,7 @@ def _demb_kernel(q_ref, k_ref, v_ref, mask_ref, table_ref, do_ref, lse_ref,
             jnp.int32, (block_q, block_k), 0)
         k_pos = kb * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
-        s = s + _t5_tile(table_ref[...], q_pos, k_pos, *t5)
+        s = s + _t5_tile(_table_head_col(table_ref, h), q_pos, k_pos, *t5)
         ok = jnp.broadcast_to((mask_ref[0, 0] > 0)[None, :], s.shape)
         if causal:
             ok &= k_pos <= q_pos
@@ -926,12 +939,19 @@ def _demb_kernel(q_ref, k_ref, v_ref, mask_ref, table_ref, do_ref, lse_ref,
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = jnp.where(ok, p * (dp - delta), 0.0)
-        onehot = _t5_onehot(q_pos, k_pos, *t5)               # (BQ*BK, nb)
-        contrib = jax.lax.dot_general(
-            ds.reshape(1, block_q * block_k), onehot,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)               # (1, nb)
-        demb_ref[...] += contrib
+        # per-bucket masked sums, statically unrolled: everything stays a
+        # 2D tile or a scalar (the one-hot-matmul formulation needs
+        # (BQ, BK) -> (1, BQ*BK) shape casts Mosaic cannot lower).  The
+        # (1, 8, nb) output block holds the same row in all 8 sublanes (a
+        # (1, nb) block is not sublane-lowerable); the caller reads
+        # sublane 0.
+        bucket = _t5_bucket(q_pos, k_pos, *t5)
+        lane = jax.lax.broadcasted_iota(jnp.int32, demb_ref.shape, 2)
+        acc = jnp.zeros(demb_ref.shape, jnp.float32)
+        for b in range(t5[1]):                                # static
+            s_b = jnp.sum(jnp.where(bucket == b, ds, 0.0))
+            acc = acc + jnp.where(lane == b, s_b, 0.0)
+        demb_ref[...] += acc
 
 
 def _compute_demb(q, k, v, kv_mask, table, do, lse, delta,
@@ -955,7 +975,7 @@ def _compute_demb(q, k, v, kv_mask, table, do, lse, delta,
         pl.BlockSpec((1, BK, D), lambda *g: (bh(*g) // group, g[3], 0),
                      **common),
         pl.BlockSpec((1, 1, BK), lambda *g: (bh(*g), 0, g[3]), **common),
-        pl.BlockSpec((nb, 1), lambda *g: (0, g[0]), **common),
+        pl.BlockSpec((nb, H), lambda *g: (0, 0), **common),
         pl.BlockSpec((1, BQ, D), lambda *g: (bh(*g), g[2], 0), **common),
         pl.BlockSpec((1, 1, BQ), lambda *g: (bh(*g), 0, g[2]), **common),
         pl.BlockSpec((1, 1, BQ), lambda *g: (bh(*g), 0, g[2]), **common),
@@ -968,13 +988,14 @@ def _compute_demb(q, k, v, kv_mask, table, do, lse, delta,
     demb = pl.pallas_call(
         kernel, grid=(H, B, Sq // BQ, Sk // BK), in_specs=in_specs,
         interpret=_interpret(),
-        out_specs=pl.BlockSpec((1, nb), lambda *g: (g[0], 0), **common),
-        out_shape=jax.ShapeDtypeStruct((H, nb), jnp.float32),
+        out_specs=pl.BlockSpec((1, 8, nb), lambda *g: (g[0], 0, 0),
+                               **common),
+        out_shape=jax.ShapeDtypeStruct((H, 8, nb), jnp.float32),
     )(q.reshape(B * H, Sq, D), k.reshape(B * Hkv, Sk, D),
       v.reshape(B * Hkv, Sk, D), mask_bh, table.astype(jnp.float32),
       do.reshape(B * H, Sq, D), lse.reshape(B * H, 1, Sq),
       delta.reshape(B * H, 1, Sq))
-    return demb.T.astype(table.dtype)                        # (nb, H)
+    return demb[:, 0, :].T.astype(table.dtype)               # (nb, H)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))

@@ -131,6 +131,67 @@ def _bwd_kernel(t_ref, x_ref, w_ref, lse_ref, c1_ref, c2_ref, c3_ref,
         dx_ref[...] = dx_scr[...].astype(dx_ref.dtype)
 
 
+def _bwd_dx_kernel(t_ref, x_ref, w_ref, lse_ref, c1_ref, c2_ref, c3_ref,
+                   dx_ref, dx_scr, *, BV, V, nvb):
+    """dx only, grid (row-block, vocab-block): dx accumulates in VMEM
+    scratch across the inner vocab sweep (no dW partials emitted)."""
+    vb = pl.program_id(1)
+
+    @pl.when(vb == 0)
+    def _init():
+        dx_scr[...] = jnp.zeros_like(dx_scr)
+
+    x = x_ref[...]
+    s = jax.lax.dot_general(x, w_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    col = vb * BV + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    valid = col < V
+    p = jnp.exp(s - lse_ref[0][:, None])
+    hit = col == t_ref[0][:, None]
+    dl = c1_ref[0][:, None] * p
+    dl = jnp.where(hit, dl - c2_ref[0][:, None], dl)
+    dl = jnp.where(valid, dl - c3_ref[0][:, None], 0.0)
+    dx_scr[...] += jax.lax.dot_general(
+        dl.astype(x.dtype), w_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(vb == nvb - 1)
+    def _finalize():
+        dx_ref[...] = dx_scr[...].astype(dx_ref.dtype)
+
+
+def _bwd_dw_kernel(t_ref, x_ref, w_ref, lse_ref, c1_ref, c2_ref, c3_ref,
+                   dw_ref, dw_scr, *, BV, V, nnb):
+    """dW only, grid (vocab-block, row-block): the (E, BV) dW block stays
+    resident in VMEM scratch across the inner row sweep and is written
+    exactly once — no (N/BN, E, V) partials in HBM (at large E those cost
+    gigabytes; the fused kernel keeps them only for small E)."""
+    nb = pl.program_id(1)
+
+    @pl.when(nb == 0)
+    def _init():
+        dw_scr[...] = jnp.zeros_like(dw_scr)
+
+    vb = pl.program_id(0)
+    x = x_ref[...]
+    s = jax.lax.dot_general(x, w_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    col = vb * BV + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    valid = col < V
+    p = jnp.exp(s - lse_ref[0][:, None])
+    hit = col == t_ref[0][:, None]
+    dl = c1_ref[0][:, None] * p
+    dl = jnp.where(hit, dl - c2_ref[0][:, None], dl)
+    dl = jnp.where(valid, dl - c3_ref[0][:, None], 0.0)
+    dw_scr[...] += jax.lax.dot_general(
+        x, dl.astype(x.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(nb == nnb - 1)
+    def _finalize():
+        dw_ref[...] = dw_scr[...].astype(dw_ref.dtype)
+
+
 def _pad_rows(a, Np):
     return jnp.pad(a, [(0, Np - a.shape[0])] + [(0, 0)] * (a.ndim - 1))
 
@@ -182,6 +243,14 @@ def _bwd_matmuls(x, w, targets, lse, c1, c2, c3):
     vecs = [_pad_rows(v.astype(jnp.float32), Np)[None]
             for v in (lse, c1, c2, c3)]
 
+    # at large E the fused kernel's (nnb, E, V) dW partials cost gigabytes
+    # of HBM (and its dx scratch forces tiny BN, multiplying nnb): split
+    # into a dx-only and a block-resident dW kernel instead — one extra
+    # logits recompute, no partials (llama_1b at 16k tokens VMEM-OOMed
+    # the fused form)
+    if (nnb * E * Vp * 2 > 2**30) or (E * 6 * 1024 > 12 * 2**20):
+        return _bwd_split(xp, wp, tp, vecs, N, E, V, BN, BV, nnb, nvb)
+
     kernel = functools.partial(_bwd_kernel, BV=BV, V=V, nvb=nvb)
     dx, dwp = pl.pallas_call(
         kernel,
@@ -207,6 +276,44 @@ def _bwd_matmuls(x, w, targets, lse, c1, c2, c3):
     )(tp, xp, wp, *vecs)
     dw = jnp.sum(dwp.astype(jnp.float32), axis=0)[:, :V]
     return dx[:N], dw
+
+
+def _bwd_split(xp, wp, tp, vecs, N, E, V, BN, BV, nnb, nvb):
+    Np, Vp = nnb * BN, nvb * BV
+    dx = pl.pallas_call(
+        functools.partial(_bwd_dx_kernel, BV=BV, V=V, nvb=nvb),
+        grid=(nnb, nvb),
+        interpret=_interpret(),
+        in_specs=[
+            pl.BlockSpec((1, BN), lambda nb, vb: (0, nb)),
+            pl.BlockSpec((BN, E), lambda nb, vb: (nb, 0)),
+            pl.BlockSpec((E, BV), lambda nb, vb: (0, vb)),
+        ] + [pl.BlockSpec((1, BN), lambda nb, vb: (0, nb))] * 4,
+        out_specs=pl.BlockSpec((BN, E), lambda nb, vb: (nb, 0)),
+        out_shape=jax.ShapeDtypeStruct((Np, E), xp.dtype),
+        scratch_shapes=[pltpu.VMEM((BN, E), jnp.float32)],
+    )(tp, xp, wp, *vecs)
+    # the dW kernel holds scratch + staged out + w blocks of E*BV each in
+    # VMEM — size its own vocab block to keep E*BV*16 bytes under ~8 MB
+    BVw = max(128, min(BV, (8 * 2**20 // (E * 16)) // 128 * 128))
+    Vpw = _ceil_to(V, BVw)
+    nvbw = Vpw // BVw
+    wpw = wp[:, :Vpw] if Vpw <= wp.shape[1] else jnp.pad(
+        wp, ((0, 0), (0, Vpw - wp.shape[1])))
+    dw = pl.pallas_call(
+        functools.partial(_bwd_dw_kernel, BV=BVw, V=V, nnb=nnb),
+        grid=(nvbw, nnb),
+        interpret=_interpret(),
+        in_specs=[
+            pl.BlockSpec((1, BN), lambda vb, nb: (0, nb)),
+            pl.BlockSpec((BN, E), lambda vb, nb: (nb, 0)),
+            pl.BlockSpec((E, BVw), lambda vb, nb: (0, vb)),
+        ] + [pl.BlockSpec((1, BN), lambda vb, nb: (0, nb))] * 4,
+        out_specs=pl.BlockSpec((E, BVw), lambda vb, nb: (0, vb)),
+        out_shape=jax.ShapeDtypeStruct((E, Vpw), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((E, BVw), jnp.float32)],
+    )(tp, xp, wpw, *vecs)
+    return dx[:N], dw[:, :V]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))

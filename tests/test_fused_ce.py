@@ -45,6 +45,34 @@ def test_fused_ce_loss_and_grads(ls, shape):
                                rtol=2e-2, atol=2e-5)
 
 
+@pytest.mark.parametrize("ls", [0.0, 0.1])
+def test_fused_ce_split_backward_parity(ls):
+    """E >= 2048 selects the split dx/dW backward (no dW partials; the
+    fused form VMEM-OOMed llama_1b at 16k tokens on chip)."""
+    N, E, V = 48, 2048, 330
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(N, E)) * 0.1, jnp.float32)
+    w = jnp.asarray(rng.normal(size=(E, V)) * 0.02, jnp.float32)
+    targets = jnp.asarray(rng.integers(0, V, N), jnp.int32)
+    weights = jnp.asarray((rng.random(N) > 0.2).astype(np.float32))
+
+    def f_ref(x, w):
+        loss, _, den = reference(x, w, targets, weights, ls)
+        return loss / den
+
+    def f_fused(x, w):
+        loss, _, den = fused_cross_entropy(x, w, targets, weights, ls)
+        return loss / den
+
+    l0, g0 = jax.value_and_grad(f_ref, argnums=(0, 1))(x, w)
+    l1, g1 = jax.value_and_grad(f_fused, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g0[0]), np.asarray(g1[0]),
+                               rtol=2e-2, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(g0[1]), np.asarray(g1[1]),
+                               rtol=2e-2, atol=2e-5)
+
+
 def test_fused_ce_bf16_matches_fp32_direction():
     N, E, V = 256, 64, 1000
     rng = np.random.default_rng(1)

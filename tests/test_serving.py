@@ -9,7 +9,6 @@ import pytest
 
 from pasero_tpu.serving import BM25Index, check_params
 from pasero_tpu.serving.retriever import RetrieverHandler
-from pasero_tpu.serving.server import pack_documents
 
 
 def test_bm25_ranking(tmp_path):
@@ -41,13 +40,6 @@ def test_check_params():
         check_params({"bogus": 1})
     with pytest.raises(ValueError):
         check_params({"beam_size": "abc"})
-
-
-def test_pack_documents_budget():
-    docs = [{"text": "a" * 3000}, {"text": "b" * 3000}]
-    packed = pack_documents(docs, budget_chars=4000)
-    assert len(packed) <= 4002
-    assert packed.count("b") == 1000
 
 
 def test_retriever_http(tmp_path):
