@@ -33,6 +33,7 @@ from ..config import (DecodingAPIConfig, get_model_cls, get_task_cls,
                       get_model_config_cls)
 from ..data.batching import length_buckets, pad_to_bucket
 from ..models.transformer import Transformer
+from ..parallel import bootstrap
 from ..utils.metrics import Metrics
 from .search import beam_search, left_align, sample_decode
 
@@ -84,6 +85,20 @@ class TextGenerator:
         if tp == 1 and cfg.devices and str(cfg.devices[0]).isdigit():
             tp = max(tp, len(cfg.devices))
         self.mesh = None
+        self.multiprocess = bootstrap.is_multiprocess()
+        if self.multiprocess:
+            # multi-host decode (reference: one process per GPU under DP or
+            # TP, cli/decode.py:47-164): every process must join one global
+            # mesh over ALL devices of the slice — dp defaults to whatever
+            # the explicit tp/ep axes leave over
+            n_avail = len(jax.devices())
+            assert n_avail % (tp * ep) == 0, (
+                f"tp={tp} x ep={ep} does not divide the {n_avail} global "
+                "devices")
+            dp = max(dp, n_avail // (tp * ep))
+            assert dp * tp * ep == n_avail, (
+                f"multi-host decode needs the full slice: dp={dp} x tp={tp} "
+                f"x ep={ep} != {n_avail} devices")
         if dp * tp * ep > 1:
             from ..parallel import make_mesh
             n_avail = len(jax.devices())
@@ -92,6 +107,7 @@ class TextGenerator:
                 f"than available ({n_avail})")
             self.mesh = make_mesh(dp, tp, ep, 1,
                                   devices=jax.devices()[:dp * tp * ep])
+        self._compiled: dict = {}
         self.param_shardings = None
         if getattr(cfg, "benchmark", False):
             from ..utils.benchmark import benchmark
@@ -145,13 +161,17 @@ class TextGenerator:
             from ..parallel.sharding import param_shardings
             self.param_shardings = param_shardings(
                 abstract["params"], self.mesh)
-            self.params = jax.device_put(self.params, self.param_shardings)
+            # multi-process safe: every host holds the full checkpoint and
+            # hands each local device its slice
+            self.params = bootstrap.global_params_from_host(
+                self.params, self.param_shardings)
         else:
             self.params = jax.tree_util.tree_map(jnp.asarray, self.params)
         if self.cfg.ensemble_ckpt:
             logger.info(f"ensemble of {1 + len(self.cfg.ensemble_ckpt)} models: "
                         "log-probabilities are averaged at every decode step")
-            place = ((lambda t: jax.device_put(t, self.param_shardings))
+            place = ((lambda t: bootstrap.global_params_from_host(
+                          t, self.param_shardings))
                      if self.mesh is not None
                      else (lambda t: jax.tree_util.tree_map(jnp.asarray, t)))
             self.ensemble_params = [
@@ -199,14 +219,34 @@ class TextGenerator:
 
     def _place(self, array, batch_axis: bool = True):
         """Device placement: rows over the 'data' mesh axis when a decode
-        mesh is active, plain transfer otherwise."""
+        mesh is active, plain transfer otherwise.  Multi-process: every host
+        builds the same global batch (replicated input mode) and each device
+        pulls exactly its rows."""
         if array is None:
             return None
         if self.mesh is None:
             return jnp.asarray(array)
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.sharding import PartitionSpec as P
         spec = P("data") if batch_axis else P()
-        return jax.device_put(np.asarray(array), NamedSharding(self.mesh, spec))
+        return bootstrap.global_array_from_full(np.asarray(array), self.mesh,
+                                                spec)
+
+    def _fetch(self, out: dict) -> dict:
+        """Decode outputs -> host numpy.  Multi-process: the outputs are
+        globally sharded over 'data'; all-gather them so every process holds
+        every row (the reference's gather_list, decoding.py:599-601)."""
+        if self.multiprocess and self.mesh is not None:
+            out = bootstrap.replicate_to_host(out, self.mesh)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def _jit(self, key, build):
+        """Per-(shape, options) compiled decode programs, cached for the
+        generator's lifetime: all compute sits inside one jit so it works on
+        multi-process meshes and never re-traces per buffer."""
+        fn = self._compiled.get(key)
+        if fn is None:
+            fn = self._compiled[key] = jax.jit(build())
+        return fn
 
     # -- decoding ------------------------------------------------------------
     def _decode_batch(self, batch: dict, opts: dict) -> dict:

@@ -248,7 +248,7 @@ def _bwd_matmuls(x, w, targets, lse, c1, c2, c3):
     # into a dx-only and a block-resident dW kernel instead — one extra
     # logits recompute, no partials (llama_1b at 16k tokens VMEM-OOMed
     # the fused form)
-    if (nnb * E * Vp * 2 > 2**30) or (E * 6 * 1024 > 12 * 2**20):
+    if (nnb * E * Vp * 2 > 2**30) or (E * 6 * 1024 >= 12 * 2**20):
         return _bwd_split(xp, wp, tp, vecs, N, E, V, BN, BV, nnb, nvb)
 
     kernel = functools.partial(_bwd_kernel, BV=BV, V=V, nvb=nvb)

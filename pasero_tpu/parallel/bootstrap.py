@@ -180,6 +180,54 @@ def replicated_scalar(value, mesh, dtype=None):
     return make()
 
 
+def global_params_from_host(tree, shardings):
+    """Host numpy parameter pytree -> globally-sharded jax.Arrays.
+
+    Single-process this is `jax.device_put(tree, shardings)`.  Multi-process,
+    device_put of a host array onto a sharding that spans non-addressable
+    devices fails; `make_array_from_callback` instead hands each *local*
+    device exactly its slice of the host copy (every process holds the same
+    full checkpoint, as with the reference's per-rank torch.load).
+    """
+    import jax
+    import numpy as np
+
+    if not is_multiprocess():
+        return jax.device_put(tree, shardings)
+
+    def place(x, sharding):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sharding,
+                                            lambda idx: x[idx])
+    return jax.tree_util.tree_map(place, tree, shardings)
+
+
+def broadcast_obj(obj, root: int = 0):
+    """Broadcast a picklable object from ``root`` to every process.
+
+    The reference broadcasts stdin lines / serving requests between ranks
+    with torch.distributed broadcast_object_list (utils.py:69-104); the JAX
+    equivalent ships the pickle bytes through two fixed-shape device
+    broadcasts (length, then payload).  Single-process: returns obj.
+    """
+    if not is_multiprocess():
+        return obj
+    import pickle
+
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    payload = (np.frombuffer(pickle.dumps(obj), np.uint8)
+               if process_index() == root else np.zeros((0,), np.uint8))
+    n = multihost_utils.broadcast_one_to_all(
+        np.asarray([payload.size], np.int64), is_source=process_index() == root)
+    buf = payload if process_index() == root else np.zeros((int(n[0]),),
+                                                           np.uint8)
+    data = multihost_utils.broadcast_one_to_all(
+        buf, is_source=process_index() == root)
+    return pickle.loads(np.asarray(data).tobytes())
+
+
 def replicate_to_host(tree, mesh):
     """Device pytree -> host numpy pytree, valid on every process.
 

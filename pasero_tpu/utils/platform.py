@@ -32,11 +32,15 @@ def enable_compilation_cache() -> None:
     choice = os.environ.get("PASERO_COMPILE_CACHE", "")
     if choice == "0":
         return
-    if not choice and "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+    platforms = (os.environ.get("JAX_PLATFORMS")
+                 or getattr(jax.config, "jax_platforms", None) or "")
+    if not choice and ("cpu" in platforms or not platforms):
         # XLA:CPU persists AOT machine code whose feature baseline can
         # differ from the executing host (SIGILL risk + noisy loader
-        # errors); CPU compiles are cheap anyway. Opt in explicitly with
-        # PASERO_COMPILE_CACHE=<dir> if wanted.
+        # errors); CPU compiles are cheap anyway. An *unset* platform may
+        # silently resolve to CPU on a CPU-only host, so only enable the
+        # cache when a non-CPU platform is explicitly selected, or opt in
+        # with PASERO_COMPILE_CACHE=<dir>. TPU images set JAX_PLATFORMS.
         return
     cache_dir = choice or os.path.expanduser("~/.cache/pasero_tpu/xla")
     try:

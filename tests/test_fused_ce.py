@@ -46,9 +46,16 @@ def test_fused_ce_loss_and_grads(ls, shape):
 
 
 @pytest.mark.parametrize("ls", [0.0, 0.1])
-def test_fused_ce_split_backward_parity(ls):
+def test_fused_ce_split_backward_parity(ls, monkeypatch):
     """E >= 2048 selects the split dx/dW backward (no dW partials; the
-    fused form VMEM-OOMed llama_1b at 16k tokens on chip)."""
+    fused form VMEM-OOMed llama_1b at 16k tokens on chip). Asserts the
+    split path actually ran (round-3 advice: at E=2048 a strict `>`
+    heuristic silently kept the fused path, leaving the split untested)."""
+    import pasero_tpu.ops.fused_ce as fused_ce_mod
+    calls = []
+    real_split = fused_ce_mod._bwd_split
+    monkeypatch.setattr(fused_ce_mod, "_bwd_split",
+                        lambda *a, **k: (calls.append(1), real_split(*a, **k))[1])
     N, E, V = 48, 2048, 330
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.normal(size=(N, E)) * 0.1, jnp.float32)
@@ -66,6 +73,7 @@ def test_fused_ce_split_backward_parity(ls):
 
     l0, g0 = jax.value_and_grad(f_ref, argnums=(0, 1))(x, w)
     l1, g1 = jax.value_and_grad(f_fused, argnums=(0, 1))(x, w)
+    assert calls, "split backward was not selected at E=2048"
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(g0[0]), np.asarray(g1[0]),
                                rtol=2e-2, atol=2e-5)
