@@ -18,11 +18,17 @@ logger = logging.getLogger("decode")
 def main():
     from pasero_tpu.utils.platform import apply_platform_env
     apply_platform_env()
+    # multi-host topology (TPU pod / SLURM / PASERO_* env): all processes
+    # join one global mesh and decode cooperatively — the reference spawns
+    # one process per GPU under DP or TP (cli/decode.py:47-164)
+    from pasero_tpu.parallel import bootstrap
+    bootstrap.initialize()
     from pasero_tpu.config import DecodingCLIConfig, get_task_cls
     from pasero_tpu.decoding.generator import TextGenerator
 
     cfg = DecodingCLIConfig(strict=True)
-    logging.basicConfig(level=logging.INFO,
+    logging.basicConfig(level=(logging.INFO if bootstrap.is_master()
+                               else logging.WARNING),
                         format="%(asctime)s | %(name)s | %(message)s")
 
     task_cls = get_task_cls(cfg.task)

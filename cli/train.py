@@ -216,27 +216,62 @@ def run_training(cfg):
                   for c in valid_corpora}
 
     def generator_factory():
-        """Beam-decode validation sources with the current parameters."""
+        """Beam-decode validation sources with the current parameters.
+
+        Runs on the TRAINING mesh: prompts are sharded over the 'data' axis
+        and the whole encode+beam program sits inside one jit, so the decode
+        works with globally-sharded (multi-host / FSDP / TP) parameters —
+        the reference decodes validation on every rank and scores on the
+        master (cli/train.py:458-541).  PP and CP train-state layouts have
+        no decode program; they gather the named parameters to host and
+        decode locally (identically on every process)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from pasero_tpu.config import get_model_config_cls
         from pasero_tpu.data.batching import length_buckets, pad_to_bucket
         from pasero_tpu.decoding.search import beam_search, left_align
+        from pasero_tpu.parallel import bootstrap
+
+        mesh = trainer.mesh
+        use_mesh = (getattr(trainer, "pp_size", 1) or 1) == 1 \
+            and (cfg.cp_size or 1) == 1
+        decode_model_cfg = cfg.model_cfg
+        if not use_mesh:
+            params = trainer.named_params  # collective: all processes join
+            if cfg.model_cfg.attention_kernel == "ring":
+                # ring attention needs the 'seq' mesh axis; the host-local
+                # decode uses the plain kernel (same math)
+                decode_model_cfg = get_model_config_cls(cfg.arch)(
+                    strict=False, **cfg.model_cfg.as_dict())
+                decode_model_cfg.attention_kernel = "auto"
+        else:
+            params = trainer.state.params
+        rows_multiple = int(np.lcm(4, mesh.shape["data"])) if use_mesh else 4
+        compiled: dict = {}
+
+        def place(x, spec):
+            if not use_mesh:
+                return jnp.asarray(x)
+            return bootstrap.global_array_from_full(
+                np.asarray(x), mesh, spec)
 
         def generate(sources, valid_set):
-            params = trainer.named_params
             hypotheses = []
             samples = [task.preprocess(
                 task.input_to_sample(src, valid_set.corpus.meta
                                      if hasattr(valid_set.corpus, "meta") else {}))
                 for src in sources]
-            import jax.numpy as jnp
             for start in range(0, len(samples), 16):
                 chunk = samples[start:start + 16]
                 pad = task.padding_idx
                 dec = [s["decoder_input"] for s in chunk]
                 buckets = length_buckets(max(max(len(d) for d in dec), 8), 8)
-                prompt, pmask = pad_to_bucket(dec, buckets, pad, rows_multiple=4)
+                prompt, pmask = pad_to_bucket(dec, buckets, pad,
+                                              rows_multiple=rows_multiple)
                 prompt, pmask = left_align(prompt, pmask, pad)
                 max_new = cfg.max_output_len
-                enc_out = enc_mask = None
+                src_arr = smask = None
                 cross_len = 0
                 if cfg.model_cfg.model_type != "decoder":
                     enc = [s["encoder_input"] for s in chunk]
@@ -244,28 +279,44 @@ def run_training(cfg):
                     is_feat = enc[0].ndim > 1
                     src_arr, smask = pad_to_bucket(enc, sbuckets,
                                                    0.0 if is_feat else pad,
-                                                   rows_multiple=4)
+                                                   rows_multiple=rows_multiple)
                     cross_len = src_arr.shape[1]
                 decode_model = model_cls(
-                    cfg.model_cfg,
+                    decode_model_cfg,
                     src_vocab_size=(task.encoder_num_embeddings
                                     or task.decoder_num_embeddings),
                     tgt_vocab_size=task.decoder_num_embeddings,
                     self_cache_len=prompt.shape[1] + max_new,
                     cross_cache_len=cross_len)
-                if cfg.model_cfg.model_type != "decoder":
-                    enc_out, enc_mask = decode_model.apply(
-                        {"params": params}, jnp.asarray(src_arr),
-                        src_mask=jnp.asarray(smask),
-                        method=type(decode_model).encode)
-                out = beam_search(
-                    decode_model, params, jnp.asarray(prompt),
-                    jnp.asarray(pmask), beam_size=cfg.beam_size or 1,
-                    max_new=max_new, eos_idx=task.eos_idx,
-                    pad_idx=task.padding_idx, encoder_out=enc_out,
-                    encoder_mask=enc_mask, len_penalty=cfg.len_penalty)
-                tokens = np.asarray(out["tokens"][:, 0])
-                lengths = np.asarray(out["lengths"][:, 0])
+
+                key = (prompt.shape, None if src_arr is None
+                       else src_arr.shape, max_new)
+                run = compiled.get(key)
+                if run is None:
+                    def decode_fn(p, pr, pm, s, sm,
+                                  _model=decode_model):
+                        eo = em = None
+                        if s is not None:
+                            eo, em = _model.apply(
+                                {"params": p}, s, src_mask=sm,
+                                method=type(_model).encode)
+                        out = beam_search(
+                            _model, p, pr, pm, beam_size=cfg.beam_size or 1,
+                            max_new=max_new, eos_idx=task.eos_idx,
+                            pad_idx=task.padding_idx, encoder_out=eo,
+                            encoder_mask=em, len_penalty=cfg.len_penalty)
+                        return {"tokens": out["tokens"][:, 0],
+                                "lengths": out["lengths"][:, 0]}
+                    run = compiled[key] = jax.jit(decode_fn)
+                out = run(params, place(prompt, P("data")),
+                          place(pmask, P("data")),
+                          None if src_arr is None else place(src_arr,
+                                                             P("data")),
+                          None if smask is None else place(smask, P("data")))
+                if use_mesh and trainer.multiprocess:
+                    out = bootstrap.replicate_to_host(out, mesh)
+                tokens = np.asarray(out["tokens"])
+                lengths = np.asarray(out["lengths"])
                 for row in range(len(chunk)):
                     ids = [int(t) for t in tokens[row][:lengths[row]]
                            if int(t) != task.eos_idx]

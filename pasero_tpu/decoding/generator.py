@@ -252,7 +252,7 @@ class TextGenerator:
     def _decode_batch(self, batch: dict, opts: dict) -> dict:
         beam_size = opts["beam_size"]
         max_new = opts["max_new"]
-        P = batch["prompt"].shape[1]
+        B, P = batch["prompt"].shape
         cross_len = batch["src_tokens"].shape[1] if "src_tokens" in batch else 0
         use_spec = (self.cfg.speculative and beam_size == 1
                     and not opts.get("sampling", self.cfg.sampling)
@@ -264,26 +264,32 @@ class TextGenerator:
         model = self._make_model(
             self_cache_len=P + max_new + (spec_k + 1 if use_spec else 0),
             cross_cache_len=cross_len)
+        model_cls = type(model)
+        shape_key = (B, P, cross_len, max_new, spec_k)
         encoder_out = encoder_mask = None
         if "src_tokens" in batch:
             # --encoder-decoder-swapping: only the needed half of the model is
             # resident on device during each phase (decoding.py:231-237,
             # 583-595; on TPU this means feeding apply() the sub-tree only)
-            if self.cfg.encoder_decoder_swapping:
+            if self.cfg.encoder_decoder_swapping and not self.multiprocess:
                 enc_params = {k: v for k, v in self.params.items()
                               if k in ("encoder", "shared_embed")}
                 enc_params = jax.device_put(enc_params)
                 encoder_out, encoder_mask = model.apply(
                     {"params": enc_params}, self._place(batch["src_tokens"]),
                     src_mask=self._place(batch["src_mask"]),
-                    method=type(model).encode)
+                    method=model_cls.encode)
                 del enc_params
             else:
-                encoder_out, encoder_mask = model.apply(
-                    {"params": self.params}, self._place(batch["src_tokens"]),
-                    src_mask=self._place(batch["src_mask"]),
-                    method=type(model).encode)
-        if self.cfg.encoder_decoder_swapping:
+                encode = self._jit(
+                    ("encode", shape_key),
+                    lambda: lambda p, src, mask: model.apply(
+                        {"params": p}, src, src_mask=mask,
+                        method=model_cls.encode))
+                encoder_out, encoder_mask = encode(
+                    self.params, self._place(batch["src_tokens"]),
+                    self._place(batch["src_mask"]))
+        if self.cfg.encoder_decoder_swapping and not self.multiprocess:
             decode_half = {k: v for k, v in self.params.items()
                            if k != "encoder"}
             decode_params = jax.device_put(decode_half)
@@ -293,7 +299,6 @@ class TextGenerator:
             decode_params = self.params
         common = dict(max_new=max_new, eos_idx=self.task.eos_idx,
                       pad_idx=self.task.padding_idx,
-                      encoder_out=encoder_out, encoder_mask=encoder_mask,
                       blacklist=tuple(self.task.preprocessor.blacklist))
         prompt = self._place(batch["prompt"])
         prompt_mask = self._place(batch["prompt_mask"])
@@ -306,43 +311,62 @@ class TextGenerator:
             if "src_tokens" in batch and batch["src_tokens"].ndim == 2:
                 lookup = self._place(batch["src_tokens"])
                 lookup_mask = self._place(batch["src_mask"])
-            out = speculative_greedy_decode(
-                model, decode_params, prompt, prompt_mask,
-                lookup=lookup, lookup_mask=lookup_mask, draft_len=spec_k,
-                max_new=max_new, eos_idx=self.task.eos_idx,
-                pad_idx=self.task.padding_idx,
-                encoder_out=encoder_out, encoder_mask=encoder_mask)
-            tokens = np.asarray(out["tokens"])[:, None]
-            pos_scores = np.asarray(out["scores"])[:, None]
-            lengths = np.asarray(out["lengths"])[:, None]
+            run = self._jit(
+                ("spec", shape_key, lookup is not None,
+                 encoder_out is not None),
+                lambda: lambda dp, pr, pm, lk, lkm, eo, em:
+                    speculative_greedy_decode(
+                        model, dp, pr, pm, lookup=lk, lookup_mask=lkm,
+                        draft_len=spec_k, encoder_out=eo, encoder_mask=em,
+                        **common))
+            out = self._fetch(run(decode_params, prompt, prompt_mask,
+                                  lookup, lookup_mask, encoder_out,
+                                  encoder_mask))
+            tokens = out["tokens"][:, None]
+            pos_scores = out["scores"][:, None]
+            lengths = out["lengths"][:, None]
             scores = pos_scores.sum(-1) / (lengths + 1.0) ** cfg.len_penalty
         elif use_sampling or beam == 1:
             self.rng, rng = jax.random.split(self.rng)
             stop_seqs = tuple(tuple(int(i) for i in s)
                               for s in self.task.preprocessor.bin_stop_sequences
                               if len(s))
-            out = sample_decode(
-                model, decode_params, prompt, prompt_mask,
-                greedy=not use_sampling,
-                temperature=opts.get("sampling_temperature",
-                                     cfg.sampling_temperature),
-                top_k=opts.get("sampling_topk", cfg.sampling_topk),
-                top_p=opts.get("sampling_topp", cfg.sampling_topp),
-                repeat_penalty=opts.get("repeat_penalty", cfg.repeat_penalty),
-                stop_sequences=stop_seqs, rng=rng, **common)
-            tokens = np.asarray(out["tokens"])[:, None]        # (B, 1, T)
-            pos_scores = np.asarray(out["scores"])[:, None]
-            lengths = np.asarray(out["lengths"])[:, None]
+            samp = (not use_sampling,
+                    opts.get("sampling_temperature", cfg.sampling_temperature),
+                    opts.get("sampling_topk", cfg.sampling_topk),
+                    opts.get("sampling_topp", cfg.sampling_topp),
+                    opts.get("repeat_penalty", cfg.repeat_penalty), stop_seqs)
+            run = self._jit(
+                ("sample", shape_key, samp, common["blacklist"],
+                 len(self.ensemble_params), encoder_out is not None),
+                lambda: lambda dp, pr, pm, eo, em, rng: sample_decode(
+                    model, dp, pr, pm, greedy=samp[0], temperature=samp[1],
+                    top_k=samp[2], top_p=samp[3], repeat_penalty=samp[4],
+                    stop_sequences=samp[5], rng=rng, encoder_out=eo,
+                    encoder_mask=em, **common))
+            out = self._fetch(run(decode_params, prompt, prompt_mask,
+                                  encoder_out, encoder_mask,
+                                  self._place(np.asarray(rng),
+                                              batch_axis=False)))
+            tokens = out["tokens"][:, None]                    # (B, 1, T)
+            pos_scores = out["scores"][:, None]
+            lengths = out["lengths"][:, None]
             scores = pos_scores.sum(-1) / (lengths + 1.0) ** cfg.len_penalty
         else:
-            out = beam_search(model, decode_params, prompt, prompt_mask,
-                              beam_size=beam,
-                              len_penalty=opts.get("len_penalty",
-                                                   cfg.len_penalty), **common)
-            tokens = np.asarray(out["tokens"])
-            pos_scores = np.asarray(out["positional_scores"])
-            lengths = np.asarray(out["lengths"])
-            scores = np.asarray(out["scores"])
+            len_penalty = opts.get("len_penalty", cfg.len_penalty)
+            run = self._jit(
+                ("beam", shape_key, beam, len_penalty, common["blacklist"],
+                 len(self.ensemble_params), encoder_out is not None),
+                lambda: lambda dp, pr, pm, eo, em: beam_search(
+                    model, dp, pr, pm, beam_size=beam,
+                    len_penalty=len_penalty, encoder_out=eo,
+                    encoder_mask=em, **common))
+            out = self._fetch(run(decode_params, prompt, prompt_mask,
+                                  encoder_out, encoder_mask))
+            tokens = out["tokens"]
+            pos_scores = out["positional_scores"]
+            lengths = out["lengths"]
+            scores = out["scores"]
         return {"tokens": tokens, "positional_scores": pos_scores,
                 "lengths": lengths, "scores": scores}
 
@@ -371,24 +395,29 @@ class TextGenerator:
     def _capture_layers(self, sample: dict, hyp: dict,
                         return_layers: bool, return_weights: bool) -> None:
         """Attach layer outputs / attention maps for a GENERATED hypothesis
-        (reference gathers them inside the beam loop with beam reordering,
+        (the reference gathers them inside the beam loop with beam reordering,
         decoding.py:1569-1594).  Here the selected hypothesis is re-run
         teacher-forced in one full forward: the model is deterministic, so
         this reproduces exactly the activations the decode loop computed for
         the winning beam (same equivalence the decode==full-forward parity
         tests assert), at the cost of one extra forward."""
-        import jax.numpy as jnp
         model = self._make_model()
         prompt = [int(t) for t in sample["decoder_input"]]
         gen = hyp["tokens"]
         dec_in = np.asarray(prompt + gen[:-1], np.int32)[None]
-        kwargs = {"decoder_input": jnp.asarray(dec_in),
-                  "return_layers": return_layers,
-                  "return_weights": return_weights}
+        repl = lambda x: self._place(np.asarray(x), batch_axis=False)
+        kwargs = {"decoder_input": repl(dec_in)}
         if "encoder_input" in sample:
-            kwargs["src_tokens"] = jnp.asarray(
-                np.asarray(sample["encoder_input"])[None])
-        out = model.apply({"params": self.params}, **kwargs)
+            kwargs["src_tokens"] = repl(np.asarray(sample["encoder_input"])[None])
+        shapes = tuple(sorted((k, v.shape) for k, v in kwargs.items()))
+        run = self._jit(
+            ("capture", shapes, return_layers, return_weights),
+            lambda: lambda p, **kw: model.apply(
+                {"params": p}, return_layers=return_layers,
+                return_weights=return_weights, **kw))
+        out = run(self.params, **kwargs)
+        if self.multiprocess:
+            out = bootstrap.replicate_to_host(out, self.mesh)
         P = len(prompt)
 
         def trim(key, x):
@@ -505,18 +534,27 @@ class TextGenerator:
         model = self._make_model()
         results = []
         gate_stats = []
+        repl = lambda x: self._place(np.asarray(x), batch_axis=False)
         for sample in samples:
-            kwargs = {"decoder_input": jnp.asarray(sample["decoder_input"][None]),
-                      "return_layers": return_layers,
-                      "return_weights": return_weights}
+            kwargs = {"decoder_input": repl(sample["decoder_input"][None])}
             if "encoder_input" in sample:
-                kwargs["src_tokens"] = jnp.asarray(sample["encoder_input"][None])
-            targets_arr = jnp.asarray(
+                kwargs["src_tokens"] = repl(sample["encoder_input"][None])
+            targets_arr = repl(
                 np.concatenate([sample["decoder_input"][1:],
                                 [self.task.eos_idx]])[None])
-            out, mutated = model.apply(
-                {"params": self.params}, targets=targets_arr,
-                mutable=["gate_stats"] if collect_gate_stats else [], **kwargs)
+            shapes = tuple(sorted((k, v.shape) for k, v in kwargs.items()))
+            run = self._jit(
+                ("score", shapes, return_layers, return_weights,
+                 collect_gate_stats),
+                lambda: lambda p, targets, **kw: model.apply(
+                    {"params": p}, targets=targets,
+                    return_layers=return_layers, return_weights=return_weights,
+                    mutable=["gate_stats"] if collect_gate_stats else [],
+                    **kw))
+            out, mutated = run(self.params, targets_arr, **kwargs)
+            if self.multiprocess:
+                out, mutated = bootstrap.replicate_to_host(
+                    (out, mutated), self.mesh)
             logits = np.asarray(out["logits"][0], np.float32)
             logprobs = logits - np.log(np.exp(logits - logits.max(-1, keepdims=True)).sum(-1, keepdims=True)) - logits.max(-1, keepdims=True)
             ids = np.asarray(targets_arr[0])
@@ -567,9 +605,10 @@ class TextGenerator:
                 agg.setdefault(key, []).append(np.asarray(value, np.float64))
         summary = {k: np.mean(v, axis=0).tolist() for k, v in agg.items()}
         import json as _json
-        with open(output_path, "w") as f:
-            _json.dump(summary, f, indent=2)
-        logger.info(f"wrote MoE gate statistics to {output_path}")
+        if bootstrap.is_master():
+            with open(output_path, "w") as f:
+                _json.dump(summary, f, indent=2)
+            logger.info(f"wrote MoE gate statistics to {output_path}")
         return summary
 
     # -- streaming -----------------------------------------------------------
@@ -578,6 +617,9 @@ class TextGenerator:
         """Yield detokenized words as they are generated
         (decoding.py:333-466). Runs the same jitted per-step program in a host
         loop so tokens surface immediately."""
+        assert not self.multiprocess, (
+            "stream() is single-process only; multi-host serving routes "
+            "requests through decode() via the process-0 broadcast loop")
         self.start_model()
         meta = self.task.make_meta(**(meta or {}))
         sample = self.task.preprocess(self.task.input_to_sample(input, meta))
@@ -761,17 +803,26 @@ class TextGenerator:
             **{k: v for k, v in corpus.meta.items()
                if k in ("source_lang", "target_lang", "domain", "lang",
                         "corpus_id")})
-        out_file = sys.stdout
+        # multi-host: every process decodes the same (replicated) batches;
+        # only process 0 writes output (the reference's master-side writes,
+        # decoding.py:822-873); the --continue line count comes from the
+        # master's file so every process skips identically
+        master = bootstrap.is_master()
+        out_file = sys.stdout if master else open(os.devnull, "w")
         skip = 0
         if corpus.output_path:
-            if continue_ and os.path.exists(corpus.output_path):
-                with open(corpus.output_path) as f:
-                    skip = sum(1 for _ in f)
-                out_file = open(corpus.output_path, "a")
-            else:
-                os.makedirs(os.path.dirname(corpus.output_path) or ".",
-                            exist_ok=True)
-                out_file = open(corpus.output_path, "w")
+            if continue_:
+                if master and os.path.exists(corpus.output_path):
+                    with open(corpus.output_path) as f:
+                        skip = sum(1 for _ in f)
+                skip = bootstrap.broadcast_obj(skip)
+            if master:
+                if continue_ and skip:
+                    out_file = open(corpus.output_path, "a")
+                else:
+                    os.makedirs(os.path.dirname(corpus.output_path) or ".",
+                                exist_ok=True)
+                    out_file = open(corpus.output_path, "w")
 
         inputs = corpus.input_file
         refs_file = open(corpus.ref_path) if getattr(corpus, "ref_path", None) \
@@ -785,6 +836,10 @@ class TextGenerator:
         runtime_opts: dict = {}
         while True:
             buffer = list(itertools.islice(line_iter, buffer_size))
+            if self.multiprocess:
+                # rank-0 input broadcast (stdin exists only on the master;
+                # reference: utils.py:58-82 broadcast_object_list)
+                buffer = bootstrap.broadcast_obj(buffer)
             if not buffer:
                 break
             # interactive '!opt=value' commands update decoding options
@@ -807,6 +862,8 @@ class TextGenerator:
             opts = {**opts, **runtime_opts}
             ref_buffer = (list(itertools.islice(refs_file, len(buffer)))
                           if refs_file else [None] * len(buffer))
+            if self.multiprocess:
+                ref_buffer = bootstrap.broadcast_obj(ref_buffer)
             if skip > 0:
                 take = min(skip, len(buffer))
                 buffer, ref_buffer = buffer[take:], ref_buffer[take:]

@@ -54,6 +54,22 @@ def apply_ffn(ffn, x, pad_mask, deterministic):
         return ffn(x, pad_mask=pad_mask, deterministic=deterministic)
     return ffn(x, deterministic=deterministic)
 
+
+def remat_policy(cfg):
+    """--checkpoint-policy -> jax.checkpoint policy (None = save nothing).
+
+    'dots' keeps the outputs of weight matmuls (q/k/v/out projections, FFN
+    matmuls — the MXU-heavy 2/3 of the layer) and recomputes only the
+    elementwise ops and the attention products in backward; at 1B scale this
+    recovers most of the full-remat forward-recompute cost for a bounded
+    activation-memory increase (PERFORMANCE.md remat-policy A/B)."""
+    name = getattr(cfg, "checkpoint_policy", "full") or "full"
+    if name == "full":
+        return None
+    import jax.ad_checkpoint as adc
+    return (adc.checkpoint_policies.dots_saveable if name == "dots_all"
+            else adc.checkpoint_policies.dots_with_no_batch_dims_saveable)
+
 Dtype = Any
 
 
@@ -290,7 +306,8 @@ class TransformerEncoder(nn.Module):
                 # activations (the reference's --checkpoint-activations);
                 # statics (deterministic, return_weights) passed positionally
                 # — nn.remat's static_argnums count `self` at index 0
-                layer = nn.remat(TransformerEncoderLayer, static_argnums=(5, 6))(
+                layer = nn.remat(TransformerEncoderLayer, static_argnums=(5, 6),
+                                 policy=remat_policy(cfg))(
                     cfg, layer_id=i, kernel=self.kernel, dtype=self.dtype,
                     name=f"layers_{i}")
                 x = layer(x, attn_mask, bias, positions, deterministic, False)
@@ -433,8 +450,9 @@ class TransformerDecoder(nn.Module):
                 # `self` at index 0 (nn.remat convention); beam_lineage is
                 # always None here (decode is excluded from remat above)
                 layer = nn.remat(TransformerDecoderLayer,
-                                 static_argnums=(8, 9, 10))(cfg,
-                                                            **layer_kwargs)
+                                 static_argnums=(8, 9, 10),
+                                 policy=remat_policy(cfg))(cfg,
+                                                           **layer_kwargs)
                 result = layer(x, encoder_out, self_mask, cross_mask,
                                self_bias, positions, encoder_positions,
                                decode, deterministic, return_weights,

@@ -46,14 +46,17 @@ def build_model(cfg_overrides=None, **model_kwargs):
     return model, cfg, vocab
 
 
-def bench_train(steps: int, batch_tokens: int):
+def bench_train(steps: int, batch_tokens: int, policy: str = "dots",
+                attention: str = "auto", seq_len: int = 2048):
     import jax
     import jax.numpy as jnp
     import optax
     from pasero_tpu.training.trainer import shift_targets
 
-    B, T = max(1, batch_tokens // 2048), 2048
-    model, cfg, vocab = build_model({"checkpoint_activations": True})
+    B, T = max(1, batch_tokens // seq_len), seq_len
+    model, cfg, vocab = build_model({"checkpoint_activations": True,
+                                     "checkpoint_policy": policy,
+                                     "attention_kernel": attention})
     rng = np.random.default_rng(0)
     batch = jnp.asarray(rng.integers(4, vocab, (B, T)), jnp.int32)
 
@@ -89,7 +92,9 @@ def bench_train(steps: int, batch_tokens: int):
     # CE (~2*T*E*V) — report plain 6ND MFU (the standard convention)
     mfu = 6.0 * n_params * tps / V5E_BF16_PEAK
     print(json.dumps({"metric": "train_1b_tokens_per_sec", "value": round(tps, 1),
-                      "mfu": round(mfu, 4), "params": n_params}))
+                      "mfu": round(mfu, 4), "params": n_params,
+                      "policy": policy, "attention": attention,
+                      "batch": [B, T]}))
 
 
 def bench_decode(max_new: int, batch: int):
@@ -155,12 +160,19 @@ def main():
     parser.add_argument("--batch-tokens", type=int, default=8192)
     parser.add_argument("--max-new", type=int, default=64)
     parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--policy", default="dots",
+                        choices=["full", "dots", "dots_all"],
+                        help="--checkpoint-policy for the train step A/B")
+    parser.add_argument("--attention", default="auto",
+                        choices=["auto", "xla", "flash"])
+    parser.add_argument("--seq-len", type=int, default=2048)
     args = parser.parse_args()
 
     from pasero_tpu.utils.platform import apply_platform_env
     apply_platform_env()
     if args.train:
-        bench_train(args.steps, args.batch_tokens)
+        bench_train(args.steps, args.batch_tokens, policy=args.policy,
+                    attention=args.attention, seq_len=args.seq_len)
     if args.decode:
         bench_decode(args.max_new, args.batch)
 

@@ -69,5 +69,12 @@ elif mode == "train":
     main()
     results["done"] = True
 
+elif mode == "decode":
+    # run the real decode CLI entry inside this initialized process
+    sys.argv = ["pasero-decode"] + sys.argv[5:]
+    from cli.decode import main
+    main()
+    results["done"] = True
+
 with open(out_file, "w") as f:
     json.dump(results, f)

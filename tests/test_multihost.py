@@ -167,6 +167,79 @@ def test_two_process_training_matches_single(corpus_dir):
 
 
 @pytest.mark.slow
+def test_two_process_validation_metrics_match_single(corpus_dir):
+    """--metrics bleu under 2 processes: the validation beam decode runs on
+    the global mesh (sharded prompts, globally-sharded params) and produces
+    the same BLEU as the single-process run (reference: per-rank validation
+    decode + master-side scoring, cli/train.py:458-541)."""
+    args = TRAIN_ARGS + ["--metrics", "bleu", "--beam-size", "2",
+                         "--max-output-len", "20"]
+    env = clean_env()
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    single = subprocess.run(
+        [sys.executable, "-m", "cli.train", "-o", "model_vm_single", *args],
+        cwd=corpus_dir, env=env, capture_output=True, text=True, timeout=900)
+    assert single.returncode == 0, single.stdout[-3000:] + single.stderr[-3000:]
+
+    def parse_bleu(text):
+        out = {}
+        for line in text.splitlines():
+            if "valid |" in line and "| bleu " in line:
+                out[len(out)] = float(
+                    line.split("| bleu", 1)[1].split("|")[0])
+        return out
+
+    ref_bleu = parse_bleu(single.stdout + single.stderr)
+    assert ref_bleu, "no bleu lines in single-process run:\n" + \
+        (single.stdout + single.stderr)[-3000:]
+
+    _, logs = launch_pair(
+        "train", corpus_dir,
+        extra_args=["-o", "model_vm_multi", *args], timeout=900)
+    multi_bleu = parse_bleu(logs[0])
+    assert multi_bleu, f"no bleu lines in process-0 log:\n{logs[0][-3000:]}"
+    assert multi_bleu == ref_bleu, (multi_bleu, ref_bleu)
+
+
+@pytest.mark.slow
+def test_two_process_decode_matches_single(corpus_dir):
+    """Multi-host corpus decoding: 2 processes x 4 devices decode the same
+    corpus over one dp8 mesh and the master's output file is line-identical
+    to the single-process run (reference: cli/decode.py:47-164 decodes with
+    one process per GPU; here it is one SPMD program)."""
+    env = clean_env()
+    env["JAX_PLATFORMS"] = "cpu"
+    train = subprocess.run(
+        [sys.executable, "-m", "cli.train", "-o", "model_dec",
+         *[a if a != "3" else "40" for a in TRAIN_ARGS]],
+        cwd=corpus_dir, env=env, capture_output=True, text=True, timeout=900)
+    assert train.returncode == 0, train.stdout[-3000:] + train.stderr[-3000:]
+
+    decode_args = ["model_dec", "-i", "valid.de", "-r", "valid.en",
+                   "--metrics", "bleu", "--beam-size", "2",
+                   "--max-output-len", "20"]
+    single = subprocess.run(
+        [sys.executable, "-m", "cli.decode", *decode_args,
+         "-o", "out_single.en"],
+        cwd=corpus_dir, env=env, capture_output=True, text=True, timeout=900)
+    assert single.returncode == 0, single.stdout[-3000:] + single.stderr[-3000:]
+
+    _, logs = launch_pair(
+        "decode", corpus_dir,
+        extra_args=[*decode_args, "-o", "out_multi.en"], timeout=900)
+    with open(os.path.join(corpus_dir, "out_single.en")) as f:
+        ref_lines = f.readlines()
+    with open(os.path.join(corpus_dir, "out_multi.en")) as f:
+        multi_lines = f.readlines()
+    assert ref_lines, "single-process decode produced no output"
+    assert multi_lines == ref_lines, (
+        f"multi-host decode diverged:\n{multi_lines[:5]}\nvs\n{ref_lines[:5]}")
+    # both processes logged the same BLEU
+    assert "bleu" in logs[0]
+
+
+@pytest.mark.slow
 def test_two_process_sharded_input_pipeline(corpus_dir):
     """The 'sharded' per-host input mode: each host samples a disjoint
     stream and contributes half of every fixed-shape batch."""
