@@ -149,7 +149,9 @@ def _warn_spbleu_fallback(error: Exception) -> None:
             "spBLEU (flores200 SPM tokenization) is unavailable "
             f"({type(error).__name__}); falling back to BLEU with the 'intl' "
             "tokenizer — these scores are NOT comparable to published spBLEU "
-            "numbers. Install sentencepiece to restore true spBLEU.")
+            "numbers. Point FLORES200_SPM_PATH at the flores200 SPM model "
+            "(read natively, no sentencepiece package needed) to restore "
+            "true spBLEU.")
 
 
 def word_error_rate(hypotheses: Iterable[str], references: Iterable[str]) -> float:

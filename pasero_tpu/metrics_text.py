@@ -292,10 +292,10 @@ def corpus_chrf(hypotheses: Sequence[str],
 
 @lru_cache(maxsize=4)
 def _load_spm(path: str):
-    import sentencepiece as spm  # gated; absent from the TPU image
-    sp = spm.SentencePieceProcessor()
-    sp.Load(path)
-    return sp
+    # real sentencepiece when installed, else the vendored pure-python
+    # reader (tokenizers/spm_model.py) — spBLEU runs either way
+    from .tokenizers.spm_model import load_processor
+    return load_processor(path)
 
 
 def corpus_spbleu(hypotheses: Sequence[str],

@@ -45,15 +45,13 @@ class SentencePieceTokenizer:
 
     def __init__(self, path: str, vocab: Optional[list[str]] = None,
                  inline_case: bool = False):
-        try:
-            import sentencepiece as spm
-        except ImportError as e:  # pragma: no cover - dep not in TPU image
-            raise ImportError(
-                "sentencepiece is not installed; use '--tokenizer pasero' or "
-                "provide an HF tokenizer") from e
+        # real sentencepiece when installed; else the vendored pure-python
+        # ModelProto reader + unigram/BPE encoder (tokenizers/spm_model.py),
+        # so spm models work on images without the C++ package
+        from .spm_model import load_processor
         self.path = path
         self.inline_case = inline_case
-        self._sp = spm.SentencePieceProcessor(model_file=path)
+        self._sp = load_processor(path)
         if vocab:
             self._sp.SetVocabulary(list(vocab))
             self._vocab = vocab

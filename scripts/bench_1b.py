@@ -54,7 +54,7 @@ def bench_train(steps: int, batch_tokens: int, policy: str = "dots",
     from pasero_tpu.training.trainer import shift_targets
 
     B, T = max(1, batch_tokens // seq_len), seq_len
-    model, cfg, vocab = build_model({"checkpoint_activations": True,
+    model, cfg, vocab = build_model({"checkpoint_activations": policy != "none",
                                      "checkpoint_policy": policy,
                                      "attention_kernel": attention})
     rng = np.random.default_rng(0)
@@ -161,8 +161,9 @@ def main():
     parser.add_argument("--max-new", type=int, default=64)
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--policy", default="dots",
-                        choices=["full", "dots", "dots_all"],
-                        help="--checkpoint-policy for the train step A/B")
+                        choices=["full", "dots", "dots_all", "none"],
+                        help="--checkpoint-policy for the train step A/B "
+                             "('none' = no remat at all)")
     parser.add_argument("--attention", default="auto",
                         choices=["auto", "xla", "flash"])
     parser.add_argument("--seq-len", type=int, default=2048)

@@ -95,29 +95,22 @@ def test_hf_wrapper_unknown_words(hf_dir):
 
 
 # ---------------------------------------------------------------------------
-# SentencePiece wrapper gating (spm is absent from the TPU image)
+# SentencePiece wrapper (vendored reader; the spm package is absent from the
+# TPU image — tokenizers/spm_model.py replaces it, see test_spm_reader.py)
 # ---------------------------------------------------------------------------
 
 
-def test_spm_wrapper_gating():
-    try:
-        import sentencepiece  # noqa: F401
-        pytest.skip("sentencepiece installed; gating path not reachable")
-    except ImportError:
-        pass
-    with pytest.raises(ImportError, match="tokenizer pasero"):
+def test_spm_wrapper_missing_model_errors():
+    with pytest.raises(FileNotFoundError):
         build_tokenizer("sentencepiece", "missing.model")
 
 
-def test_spbleu_degrades_to_intl_bleu(caplog):
-    """Without sentencepiece/flores200, spBLEU degrades to BLEU-intl with a
-    loud warning instead of silently disappearing (the NLLB baselines are
+def test_spbleu_degrades_to_intl_bleu(caplog, monkeypatch):
+    """Without a flores200 SPM model (FLORES200_SPM_PATH unset and sacrebleu
+    unable to download one), spBLEU degrades to BLEU-intl with a loud
+    warning instead of silently disappearing (the NLLB baselines are
     written in spBLEU)."""
-    try:
-        import sentencepiece  # noqa: F401
-        pytest.skip("sentencepiece installed; degradation path not reachable")
-    except ImportError:
-        pass
+    monkeypatch.delenv("FLORES200_SPM_PATH", raising=False)
     import logging
     with caplog.at_level(logging.WARNING, logger="evaluation"):
         score = safe_score("spbleu", ["the cat sat on the mat"],
