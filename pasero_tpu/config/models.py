@@ -112,6 +112,12 @@ class TransformerConfig(Config):
              "and FFN matmuls kept, elementwise + attention recomputed — "
              "measurably faster at 1B scale), 'dots_all' additionally saves "
              "the attention QK/PV products (most memory)")
+    checkpoint_interval: int = argument(
+        1, help="with --checkpoint-activations, rematerialize every Nth "
+                "layer only (the rest save all activations): N=2 halves the "
+                "recompute cost of full remat for half its memory saving — "
+                "the knob that fits the largest no-remat-affordable batch "
+                "(PERFORMANCE.md 1B remat-policy A/B)")
     model_type: Optional[str] = argument(
         choices=["encoder_decoder", "decoder"],
         defaults={"language_modeling": "decoder", "dialogue": "decoder",
@@ -231,6 +237,12 @@ class MOETransformerConfig(TransformerConfig):
         "fused", choices=["basic", "fused", "tutel", "sharded"],
         help="MoE dispatch implementation; 'sharded' (accepts alias 'tutel') uses "
              "expert parallelism with all-to-all over the expert mesh axis")
+    moe_dispatch: str = argument(
+        "auto", choices=["auto", "gather", "einsum"],
+        help="token dispatch: 'gather' = scatter/gather reshuffle (O(T*D), "
+             "the single-chip winner), 'einsum' = one-hot contractions that "
+             "lower to the EP all-to-all under GSPMD, 'auto' = gather for "
+             "single-chip impls, einsum for sharded")
     capacity_factor: float = argument(
         0.0, help="per-expert capacity = 2*factor*tokens/experts; 0 = derived from "
                   "top-2 worst case (TPU needs a static capacity)")

@@ -49,6 +49,11 @@ class MoEFeedForward(nn.Module):
     activation: str = "relu"
     use_bias: bool = True
     impl: str = "fused"             # 'basic' | 'fused' | 'sharded' | 'tutel'
+    # token dispatch: 'gather' (scatter/gather reshuffle, O(T·D) — the
+    # single-chip winner, PERFORMANCE.md MoE A/B), 'einsum' (one-hot
+    # contractions that lower to the EP all-to-all under GSPMD), 'auto' =
+    # gather for the single-chip impls, einsum for the sharded ones
+    dispatch: str = "auto"
     capacity_factor: float = 0.0
     load_balancing: float = 0.0
     dtype: Dtype = jnp.bfloat16
@@ -122,10 +127,20 @@ class MoEFeedForward(nn.Module):
                                              (expert_axis, "embed", "mlp")),
                 (E, D, self.ffn_dim), jnp.float32)
 
+        use_gather = (self.dispatch == "gather"
+                      or (self.dispatch == "auto"
+                          and self.impl in ("basic", "fused")))
         gating = top2_gating(logits, pad_mask=flat_mask,
-                             capacity_factor=self.capacity_factor)
-        expert_in = dispatch_tokens(tokens.astype(self.dtype),
-                                    gating["dispatch"])      # (E, C, D)
+                             capacity_factor=self.capacity_factor,
+                             compact=use_gather)
+        C = gating["capacity"]
+        if use_gather:
+            from ..ops.moe import dispatch_tokens_gather
+            expert_in = dispatch_tokens_gather(
+                tokens.astype(self.dtype), gating["routing"], E, C)
+        else:
+            expert_in = dispatch_tokens(tokens.astype(self.dtype),
+                                        gating["dispatch"])  # (E, C, D)
         h = jnp.einsum("ecd,edf->ecf", expert_in, w_in.astype(self.dtype),
                        preferred_element_type=self.dtype)
         if self.use_bias:
@@ -141,7 +156,11 @@ class MoEFeedForward(nn.Module):
                                 preferred_element_type=self.dtype)
         if self.use_bias:
             expert_out = expert_out + b_out[:, None, :].astype(self.dtype)
-        out = combine_tokens(expert_out, gating["combine"])
+        if use_gather:
+            from ..ops.moe import combine_tokens_gather
+            out = combine_tokens_gather(expert_out, gating["routing"])
+        else:
+            out = combine_tokens(expert_out, gating["combine"])
         self._sow_losses(gating["aux_loss"], gating["stats"])
         return out.reshape(B, S, D).astype(self.dtype)
 

@@ -40,6 +40,7 @@ def make_ffn(cfg, is_decoder: bool, layer_id: int, dtype, name="ffn"):
             num_experts=num_experts, ffn_dim=expert_dim,
             activation=cfg.activation_fn, use_bias=cfg.has_bias,
             impl=getattr(cfg, "moe_impl", "fused"),
+            dispatch=getattr(cfg, "moe_dispatch", "auto"),
             capacity_factor=getattr(cfg, "capacity_factor", 0.0),
             load_balancing=getattr(cfg, "load_balancing", 0.0),
             dtype=dtype, name=name)
@@ -299,9 +300,11 @@ class TransformerEncoder(nn.Module):
             bias = T5Bias(mod.rel_table(), True, mod.num_buckets,
                           mod.max_distance)
 
+        ckpt_every = max(1, getattr(cfg, "checkpoint_interval", 1) or 1)
         layer_outputs = []
         for i in range(cfg.encoder_layers):
-            if cfg.checkpoint_activations and not return_layers:
+            if (cfg.checkpoint_activations and not return_layers
+                    and i % ckpt_every == 0):
                 # remat: recompute the layer in backward instead of saving
                 # activations (the reference's --checkpoint-activations);
                 # statics (deterministic, return_weights) passed positionally
@@ -435,6 +438,7 @@ class TransformerDecoder(nn.Module):
             encoder_positions = positions_from_mask(encoder_mask) \
                 if encoder_mask is not None else None
 
+        ckpt_every = max(1, getattr(cfg, "checkpoint_interval", 1) or 1)
         layer_outputs, self_attn_maps, cross_attn_maps = [], [], []
         for i in range(cfg.decoder_layers):
             layer_kwargs = dict(layer_id=i,
@@ -443,7 +447,8 @@ class TransformerDecoder(nn.Module):
                                 cross_cache_len=self.cross_cache_len,
                                 kernel=self.kernel, dtype=self.dtype,
                                 name=f"layers_{i}")
-            if cfg.checkpoint_activations and not decode and not return_weights:
+            if (cfg.checkpoint_activations and not decode
+                    and not return_weights and i % ckpt_every == 0):
                 # remat: statics (decode, deterministic, return_weights) must
                 # be positional for jax.checkpoint's static_argnums
                 # statics = decode/deterministic/return_weights, counting

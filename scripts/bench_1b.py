@@ -47,7 +47,8 @@ def build_model(cfg_overrides=None, **model_kwargs):
 
 
 def bench_train(steps: int, batch_tokens: int, policy: str = "dots",
-                attention: str = "auto", seq_len: int = 2048):
+                attention: str = "auto", seq_len: int = 2048,
+                ckpt_interval: int = 1):
     import jax
     import jax.numpy as jnp
     import optax
@@ -56,6 +57,7 @@ def bench_train(steps: int, batch_tokens: int, policy: str = "dots",
     B, T = max(1, batch_tokens // seq_len), seq_len
     model, cfg, vocab = build_model({"checkpoint_activations": policy != "none",
                                      "checkpoint_policy": policy,
+                                     "checkpoint_interval": ckpt_interval,
                                      "attention_kernel": attention})
     rng = np.random.default_rng(0)
     batch = jnp.asarray(rng.integers(4, vocab, (B, T)), jnp.int32)
@@ -94,7 +96,7 @@ def bench_train(steps: int, batch_tokens: int, policy: str = "dots",
     print(json.dumps({"metric": "train_1b_tokens_per_sec", "value": round(tps, 1),
                       "mfu": round(mfu, 4), "params": n_params,
                       "policy": policy, "attention": attention,
-                      "batch": [B, T]}))
+                      "ckpt_interval": ckpt_interval, "batch": [B, T]}))
 
 
 def bench_decode(max_new: int, batch: int):
@@ -167,13 +169,17 @@ def main():
     parser.add_argument("--attention", default="auto",
                         choices=["auto", "xla", "flash"])
     parser.add_argument("--seq-len", type=int, default=2048)
+    parser.add_argument("--ckpt-interval", type=int, default=1,
+                        help="remat every Nth layer only (with a remat "
+                             "--policy); the memory/recompute middle ground")
     args = parser.parse_args()
 
     from pasero_tpu.utils.platform import apply_platform_env
     apply_platform_env()
     if args.train:
         bench_train(args.steps, args.batch_tokens, policy=args.policy,
-                    attention=args.attention, seq_len=args.seq_len)
+                    attention=args.attention, seq_len=args.seq_len,
+                    ckpt_interval=args.ckpt_interval)
     if args.decode:
         bench_decode(args.max_new, args.batch)
 

@@ -17,6 +17,12 @@ def main(argv=None):
     parser.add_argument("--seq", type=int, default=128)
     parser.add_argument("--experts", type=int, default=8)
     parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--dispatch", default="auto",
+                        choices=["auto", "gather", "einsum"],
+                        help="MoE token dispatch A/B (PERFORMANCE.md)")
+    parser.add_argument("--arch", default="moe_transformer",
+                        help="'transformer' gives the dense no-MoE baseline "
+                             "for dispatch-cost attribution")
     args = parser.parse_args(argv)
 
     from pasero_tpu.utils.platform import apply_platform_env
@@ -30,10 +36,14 @@ def main(argv=None):
     from pasero_tpu.training.trainer import shift_targets
 
     jax.config.update("jax_default_prng_impl", "rbg")
-    model_cls, cfg_cls = get_model_cls("moe_transformer")
+    model_cls, cfg_cls = get_model_cls(args.arch)
     cfg = cfg_cls()
     cfg.set_defaults("translation")
-    cfg.num_experts = args.experts
+    is_moe = hasattr(cfg, "decoder_expert_count")
+    if is_moe:
+        cfg.encoder_expert_count = args.experts
+        cfg.decoder_expert_count = args.experts
+        cfg.moe_dispatch = args.dispatch
     V = 32768
     B, S, T = args.batch, args.seq, args.seq
 
@@ -74,8 +84,11 @@ def main(argv=None):
     float(loss)
     dt = (time.perf_counter() - t0) / args.steps
     tokens = B * T
-    print(f"moe_transformer ({args.experts} experts, {n_params / 1e6:.0f}M "
-          f"params): {tokens / dt / 1000:.1f}k target tokens/s/chip "
+    label = (f"{args.arch} ({args.experts} experts, dispatch "
+             f"{args.dispatch}" if is_moe
+             else f"{args.arch} (dense baseline")
+    print(f"{label}, {n_params / 1e6:.0f}M params): "
+          f"{tokens / dt / 1000:.1f}k target tokens/s/chip "
           f"({dt * 1000:.1f} ms/step)")
 
 

@@ -249,3 +249,15 @@ def test_checkpoint_activations_parity(arch, task):
     lb0 = mb0.apply(vb, **kwargs)["loss_sum"]
     lb1 = mb1.apply(vb, **kwargs)["loss_sum"]
     np.testing.assert_allclose(float(lb0), float(lb1), rtol=1e-5)
+
+    # --checkpoint-interval 2 (remat every other layer only): same math
+    cfg_half = copy.deepcopy(cfg_remat)
+    cfg_half.checkpoint_interval = 2
+    m_half = Transformer(cfg_half, src_vocab_size=50, dtype=jnp.float32)
+    l2, g2 = loss(m_half)
+    np.testing.assert_allclose(float(l0), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1e-4, atol=1e-5)

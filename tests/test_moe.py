@@ -56,6 +56,56 @@ def test_dispatch_combine_roundtrip():
     np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-4)
 
 
+def test_gather_dispatch_matches_einsum():
+    """The scatter/gather dispatch (single-chip fast path) is numerically
+    identical to the one-hot einsum dispatch — outputs AND gradients —
+    including capacity drops."""
+    from pasero_tpu.ops.moe import (combine_tokens_gather,
+                                    dispatch_tokens_gather)
+    T, E, D, C = 32, 4, 8, 6       # C < 2T/E: forces drops
+    logits = jax.random.normal(RNG, (T, E)) * 3
+    pad = jnp.asarray([True] * (T - 3) + [False] * 3)
+    x = jax.random.normal(jax.random.PRNGKey(1), (T, D))
+
+    def via_einsum(x):
+        g = top2_gating(logits, pad_mask=pad, capacity=C)
+        ein = dispatch_tokens(x, g["dispatch"])
+        return combine_tokens(ein * 2.0, g["combine"])  # fake expert = *2
+
+    def via_gather(x):
+        g = top2_gating(logits, pad_mask=pad, capacity=C, compact=True)
+        gat = dispatch_tokens_gather(x, g["routing"], E, C)
+        return combine_tokens_gather(gat * 2.0, g["routing"])
+
+    y_e, y_g = via_einsum(x), via_gather(x)
+    np.testing.assert_allclose(np.asarray(y_g), np.asarray(y_e), atol=1e-5)
+    g_e = jax.grad(lambda x: jnp.sum(via_einsum(x) ** 2))(x)
+    g_g = jax.grad(lambda x: jnp.sum(via_gather(x) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g_g), np.asarray(g_e), atol=1e-5)
+
+    # the expert inputs themselves agree slot-for-slot
+    g = top2_gating(logits, pad_mask=pad, capacity=C)
+    gc = top2_gating(logits, pad_mask=pad, capacity=C, compact=True)
+    np.testing.assert_allclose(
+        np.asarray(dispatch_tokens_gather(x, gc["routing"], E, C)),
+        np.asarray(dispatch_tokens(x, g["dispatch"])), atol=1e-5)
+
+
+@pytest.mark.parametrize("dispatch", ["gather", "einsum"])
+def test_moe_layer_dispatch_modes_agree(dispatch):
+    layer = MoEFeedForward(num_experts=4, ffn_dim=32, impl="fused",
+                           dispatch=dispatch, capacity_factor=2.0)
+    x = jax.random.normal(RNG, (2, 8, 16), jnp.float32)
+    mask = jnp.ones((2, 8), bool)
+    variables = layer.init(RNG, x, pad_mask=mask)
+    out = layer.apply(variables, x, pad_mask=mask)
+    ref_layer = MoEFeedForward(num_experts=4, ffn_dim=32, impl="fused",
+                               dispatch="einsum", capacity_factor=2.0)
+    ref = ref_layer.apply(variables, x, pad_mask=mask)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=2e-2)
+
+
 def test_moe_expert_count_placement():
     cfg = get_model_config_cls("moe_transformer")()
     cfg.decoder_expert_count = 4
