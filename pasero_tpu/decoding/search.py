@@ -102,6 +102,17 @@ def _member_list(params):
     return list(params) if isinstance(params, (list, tuple)) else [params]
 
 
+def _use_fused_head(model) -> bool:
+    """Greedy paths may use the fused Pallas vocab head (argmax + logprob
+    without fp32 (B, V) logits in HBM).  PASERO_FUSED_HEAD: 1 forces it
+    (CPU interpret-mode tests), 0 disables, auto (default) = TPU only."""
+    import os
+    env = os.environ.get("PASERO_FUSED_HEAD", "auto")
+    return (getattr(model, "supports_fused_head", False)
+            and (env == "1"
+                 or (env == "auto" and jax.default_backend() == "tpu")))
+
+
 def _members_apply(model, param_list, cache_list, tokens, *, average, **kwargs):
     """Apply every ensemble member; return (scores, caches).
 
@@ -149,14 +160,36 @@ def sample_decode(
     pad_valid = jnp.concatenate(
         [prompt_mask, jnp.ones((B, max_new), bool)], axis=1)  # (B, L)
 
-    # process the prompt block, creating + filling the KV cache(s)
     param_list = _member_list(params)
     average = len(param_list) > 1
-    last_logits, cache = _members_apply(
-        model, param_list, None, prompt, average=average,
-        encoder_out=encoder_out, encoder_mask=encoder_mask,
-        positions=positions, tgt_mask=jnp.ones((B, P), bool),
-        self_kv_mask=pad_valid)
+    # fused greedy head: token+logprob come straight from the Pallas vocab
+    # head (fused_head_argmax) and the fp32 (B, V) logits never exist — only
+    # when nothing downstream needs the full distribution.
+    fuse_head = (greedy and repeat_penalty == 1.0 and not blacklist
+                 and min_lengths is None and not average
+                 and _use_fused_head(model))
+
+    def fused_apply(p, cache, tokens, **kwargs):
+        variables = {"params": p}
+        if cache is not None:
+            variables["cache"] = cache
+        (tok, lp), mutated = model.apply(
+            variables, tokens, method=type(model).decode_step,
+            mutable=["cache"], head="argmax", **kwargs)
+        return tok[:, -1], lp[:, -1], (mutated["cache"],)
+
+    # process the prompt block, creating + filling the KV cache(s)
+    prompt_kwargs = dict(encoder_out=encoder_out, encoder_mask=encoder_mask,
+                         positions=positions,
+                         tgt_mask=jnp.ones((B, P), bool),
+                         self_kv_mask=pad_valid)
+    if fuse_head:
+        tok0, lp0, cache = fused_apply(param_list[0], None, prompt,
+                                       **prompt_kwargs)
+        last_logits = (tok0, lp0)
+    else:
+        last_logits, cache = _members_apply(
+            model, param_list, None, prompt, average=average, **prompt_kwargs)
 
     dummy_encoder = (jnp.zeros((B, 1, encoder_out.shape[-1]), encoder_out.dtype)
                      if encoder_out is not None else None)
@@ -181,9 +214,12 @@ def sample_decode(
         (step, cache, logits, tokens_buf, scores_buf, finished, finish_step,
          rng) = carry
         rng, sample_rng = jax.random.split(rng)
-        logits = mask_logits(logits, step)
-        token, logprob = _apply_sampling_filters(
-            logits, tokens_buf, cfg_static, sample_rng)
+        if fuse_head:
+            token, logprob = logits     # precomputed by the fused head
+        else:
+            logits = mask_logits(logits, step)
+            token, logprob = _apply_sampling_filters(
+                logits, tokens_buf, cfg_static, sample_rng)
         token = jnp.where(finished, pad_idx, token).astype(jnp.int32)
         logprob = jnp.where(finished, 0.0, logprob)
         tokens_buf = tokens_buf.at[:, step].set(token)
@@ -199,11 +235,18 @@ def sample_decode(
         finished = now_finished
 
         pos = (prompt_len + step)[:, None]
-        new_logits, new_cache = _members_apply(
-            model, param_list, cache, token[:, None], average=average,
-            encoder_out=dummy_encoder, encoder_mask=encoder_mask,
-            positions=pos, tgt_mask=jnp.ones((B, 1), bool),
-            self_kv_mask=pad_valid)
+        step_kwargs = dict(encoder_out=dummy_encoder,
+                           encoder_mask=encoder_mask, positions=pos,
+                           tgt_mask=jnp.ones((B, 1), bool),
+                           self_kv_mask=pad_valid)
+        if fuse_head:
+            ntok, nlp, new_cache = fused_apply(param_list[0], cache[0],
+                                               token[:, None], **step_kwargs)
+            new_logits = (ntok, nlp)
+        else:
+            new_logits, new_cache = _members_apply(
+                model, param_list, cache, token[:, None], average=average,
+                **step_kwargs)
         return (step + 1, new_cache, new_logits,
                 tokens_buf, scores_buf, finished, finish_step, rng)
 
@@ -588,16 +631,26 @@ def speculative_greedy_decode(
 
     positions0 = (jnp.arange(P)[None, :]
                   - (P - prompt_len)[:, None]).astype(jnp.int32)
-    last_logits, caches = _members_apply(
-        model, [params] if not isinstance(params, (list, tuple)) else list(params),
-        None, prompt, average=False,
-        encoder_out=encoder_out, encoder_mask=encoder_mask,
-        positions=positions0, tgt_mask=jnp.ones((B, P), bool),
-        self_kv_mask=pad_valid)
-    cache = caches[0]
-    t0 = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
-    lp0 = jnp.take_along_axis(jax.nn.log_softmax(last_logits, -1),
-                              t0[:, None], axis=1)[:, 0]
+    fuse_head = _use_fused_head(model)
+    prompt_kwargs = dict(encoder_out=encoder_out, encoder_mask=encoder_mask,
+                         positions=positions0,
+                         tgt_mask=jnp.ones((B, P), bool),
+                         self_kv_mask=pad_valid)
+    if fuse_head:
+        (tokp, lpp), mutated = model.apply(
+            {"params": params}, prompt, method=type(model).decode_step,
+            mutable=["cache"], head="argmax", **prompt_kwargs)
+        cache = mutated["cache"]
+        t0, lp0 = tokp[:, -1].astype(jnp.int32), lpp[:, -1]
+    else:
+        last_logits, caches = _members_apply(
+            model,
+            [params] if not isinstance(params, (list, tuple)) else list(params),
+            None, prompt, average=False, **prompt_kwargs)
+        cache = caches[0]
+        t0 = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
+        lp0 = jnp.take_along_axis(jax.nn.log_softmax(last_logits, -1),
+                                  t0[:, None], axis=1)[:, 0]
 
     dummy_encoder = (jnp.zeros((B, 1, encoder_out.shape[-1]), encoder_out.dtype)
                      if encoder_out is not None else None)
@@ -623,14 +676,27 @@ def speculative_greedy_decode(
         chunk = jnp.concatenate([last[:, None], draft], axis=1)   # (B, K+1)
         positions = (prompt_len[:, None] + step - 1
                      + jnp.arange(K + 1)[None]).astype(jnp.int32)
-        logits, mutated = model.apply(
-            {"params": params, "cache": cache}, chunk,
+        step_kwargs = dict(
             method=type(model).decode_step, mutable=["cache"],
             encoder_out=dummy_encoder, encoder_mask=encoder_mask,
             positions=positions, tgt_mask=jnp.ones((B, K + 1), bool),
             self_kv_mask=pad_valid)
-        logits = logits.astype(jnp.float32)                       # (B, K+1, V)
-        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if fuse_head:
+            # every emitted token IS the greedy token (accepted drafts match
+            # greedy by construction; the bonus is greedy at a_min), so the
+            # fused head's (argmax, logprob) pair is all verification needs
+            (greedy, greedy_lp), mutated = model.apply(
+                {"params": params, "cache": cache}, chunk, head="argmax",
+                **step_kwargs)
+            greedy = greedy.astype(jnp.int32)                     # (B, K+1)
+        else:
+            logits, mutated = model.apply(
+                {"params": params, "cache": cache}, chunk, **step_kwargs)
+            logits = logits.astype(jnp.float32)                   # (B, K+1, V)
+            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            greedy_lp = jnp.take_along_axis(
+                jax.nn.log_softmax(logits, axis=-1),
+                greedy[..., None], axis=-1)[..., 0]
 
         hit = jnp.cumprod(
             (draft == greedy[:, :K]).astype(jnp.int32), axis=1)
@@ -649,9 +715,10 @@ def speculative_greedy_decode(
         emitted = jnp.where(cols <= a_min, emitted, pad_idx)
         emitted = jnp.where(finished[:, None], pad_idx, emitted).astype(jnp.int32)
 
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        emit_lp = jnp.take_along_axis(logp, emitted[..., None], axis=-1)[..., 0]
-        emit_lp = jnp.where((cols <= a_min) & ~finished[:, None], emit_lp, 0.0)
+        # emitted == greedy at every col <= a_min, so its logprob is the
+        # greedy token's logprob at that position
+        emit_lp = jnp.where((cols <= a_min) & ~finished[:, None],
+                            greedy_lp, 0.0)
 
         tokens_buf = jax.lax.dynamic_update_slice(
             tokens_buf, emitted, (0, step))

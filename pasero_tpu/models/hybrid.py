@@ -232,6 +232,7 @@ class HybridTransformer(Transformer):
 
     supports_beam_lineage = False  # the LSTM decoder has no KV-cache lineage
     supports_fused_ce = False      # LSTM decoder has no chunked-CE head hook
+    supports_fused_head = False    # ...nor the fused greedy argmax head
 
     def setup(self):
         cfg = self.cfg

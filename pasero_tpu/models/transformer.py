@@ -355,7 +355,7 @@ class TransformerDecoder(nn.Module):
                  tgt_mask=None, positions=None, decode=False,
                  self_kv_mask=None, deterministic=True, return_layers=False,
                  return_weights=False, adapter_ids=None, beam_lineage=None,
-                 ce_targets=None, ce_weights=None):
+                 ce_targets=None, ce_weights=None, head="logits"):
         """tokens: (B, T) decoder input ids. Returns logits (B, T, V) float32.
 
         self_kv_mask: (B, cache_len) bool — validity of KV-cache slots at
@@ -364,7 +364,12 @@ class TransformerDecoder(nn.Module):
         ce_targets/ce_weights: fused-CE training path — instead of logits,
         return (loss_sum, nll_sum, weight_sum) computed by
         `chunked_cross_entropy` without materializing the (B, T, V) fp32
-        logits tensor."""
+        logits tensor.
+
+        head='argmax': greedy-decode fast path — return (tokens (B, T)
+        int32, logprobs (B, T) f32) from the fused Pallas vocab head
+        (ops/fused_ce.fused_head_argmax) without materializing the fp32
+        (B, T, V) logits."""
         cfg = self.cfg
         embed = self.shared_embed or Embedding(
             self.vocab_size, cfg.embed_dim, dtype=self.dtype,
@@ -517,6 +522,22 @@ class TransformerDecoder(nn.Module):
                 label_smoothing=cfg.label_smoothing or 0.0,
                 num_chunks=getattr(cfg, "ce_chunks", 8) or 8)
 
+        if head == "argmax":
+            from ..ops.fused_ce import fused_head_argmax
+            if cfg.tied_output_projection:
+                kernel = embed.embedding.T
+            else:
+                lin = Linear(self.vocab_size, use_bias=False,
+                             dtype=self.dtype, kernel_axes=("embed", "vocab"),
+                             name="output_projection")
+                lin(x[:, :1])  # instantiate; the unused dot is DCE'd
+                boxed = lin.variables["params"]["kernel"]
+                kernel = getattr(boxed, "value", boxed)
+            Bx, Tx, Ex = x.shape
+            tok, lp = fused_head_argmax(x.reshape(Bx * Tx, Ex),
+                                        kernel.astype(self.dtype))
+            return tok.reshape(Bx, Tx), lp.reshape(Bx, Tx)
+
         if cfg.tied_output_projection:
             logits = embed.attend(x)
         else:
@@ -635,6 +656,8 @@ class Transformer(nn.Module):
     # fused chunked-CE loss path (chunked_cross_entropy); requires a
     # TransformerDecoder head — non-transformer decoders override to False
     supports_fused_ce = True
+    # decode_step(head='argmax') greedy fast path (fused_head_argmax)
+    supports_fused_head = True
 
     cfg: TransformerConfig
     src_vocab_size: int
@@ -677,13 +700,18 @@ class Transformer(nn.Module):
 
     def decode_step(self, tokens, encoder_out=None, encoder_mask=None,
                     positions=None, tgt_mask=None, self_kv_mask=None,
-                    adapter_ids=None, beam_lineage=None):
+                    adapter_ids=None, beam_lineage=None, head="logits"):
         """Single incremental decoding call (updates the 'cache' collection).
 
         beam_lineage (B0, K, cache_len): enables no-reorder beam attention —
-        see attention.lineage_attention."""
+        see attention.lineage_attention.
+
+        head='argmax': return (tokens, logprobs) from the fused greedy vocab
+        head instead of (B, T, V) logits (ops/fused_ce.fused_head_argmax)."""
         extra = {"beam_lineage": beam_lineage} if beam_lineage is not None \
             else {}  # decoders without the hook (LSTM) reject the kwarg
+        if head != "logits":
+            extra["head"] = head
         return self.decoder(tokens, encoder_out=encoder_out,
                             encoder_mask=encoder_mask, positions=positions,
                             tgt_mask=tgt_mask, decode=True,

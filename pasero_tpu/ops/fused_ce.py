@@ -316,6 +316,85 @@ def _bwd_split(xp, wp, tp, vecs, N, E, V, BN, BV, nnb, nvb):
     return dx[:N], dw[:, :V]
 
 
+def _argmax_kernel(x_ref, w_ref, tok_ref, lp_ref, m_scr, l_scr, i_scr,
+                   *, BV, V, nvb):
+    """Greedy vocab head: online max/argmax/sumexp across the vocab sweep —
+    the (BN, BV) logits tile never leaves VMEM (decode-side analog of
+    _fwd_kernel; emits the argmax token + its log-probability)."""
+    vb = pl.program_id(1)
+
+    @pl.when(vb == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        i_scr[...] = jnp.zeros_like(i_scr)
+
+    s = jax.lax.dot_general(x_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    col = vb * BV + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    sv = jnp.where(col < V, s, NEG_INF)
+
+    m_prev = m_scr[...]
+    bm = jnp.max(sv, axis=-1, keepdims=True)                    # (BN, 1)
+    # first-occurrence argmax without a lane argmax: min col among the maxima
+    bcol = jnp.min(jnp.where(sv == bm, col, jnp.iinfo(jnp.int32).max),
+                   axis=-1, keepdims=True)
+    # strict > keeps the earlier block's hit on ties = jnp.argmax semantics
+    i_scr[...] = jnp.where(bm > m_prev, bcol, i_scr[...])
+    m_new = jnp.maximum(m_prev, bm)
+    l_scr[...] = (l_scr[...] * jnp.exp(m_prev - m_new)
+                  + jnp.sum(jnp.exp(sv - m_new), axis=-1, keepdims=True))
+    m_scr[...] = m_new
+
+    @pl.when(vb == nvb - 1)
+    def _finalize():
+        tok_ref[0] = i_scr[...][:, 0]
+        # logprob(argmax) = max - lse = -log(sumexp shifted by the max)
+        lp_ref[0] = -jnp.log(l_scr[...])[:, 0]
+
+
+def fused_head_argmax(x, kernel):
+    """Greedy decode head: ``argmax(x @ kernel)`` + its log-probability,
+    with the (N, V) logits never materialized in HBM.
+
+    The per-step vocab head is the last fp32 (B, V) round-trip of
+    weight-bound generation (reference computes full logits + softmax every
+    step, pasero/decoding.py:1005-1222).  x: (N, E); kernel: (E, V).
+    Returns (tokens (N,) int32, logprobs (N,) f32) — bit-identical to
+    ``argmax`` / ``log_softmax`` on the materialized logits (first
+    occurrence wins ties).
+    """
+    N, E = x.shape
+    V = kernel.shape[1]
+    BN, BV = _pick_blocks(N, E, V)
+    Np, Vp = _ceil_to(N, BN), _ceil_to(V, BV)
+    nvb = Vp // BV
+    xp = _pad_rows(x, Np)
+    wp = jnp.pad(kernel, ((0, 0), (0, Vp - V))).astype(x.dtype)
+
+    tok, lp = pl.pallas_call(
+        functools.partial(_argmax_kernel, BV=BV, V=V, nvb=nvb),
+        grid=(Np // BN, nvb),
+        interpret=_interpret(),
+        in_specs=[
+            pl.BlockSpec((BN, E), lambda nb, vb: (nb, 0)),
+            pl.BlockSpec((E, BV), lambda nb, vb: (0, vb)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, BN), lambda nb, vb: (0, nb)),
+            pl.BlockSpec((1, BN), lambda nb, vb: (0, nb)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, Np), jnp.int32),
+            jax.ShapeDtypeStruct((1, Np), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((BN, 1), jnp.float32),
+                        pltpu.VMEM((BN, 1), jnp.float32),
+                        pltpu.VMEM((BN, 1), jnp.int32)],
+    )(xp, wp)
+    return tok[0, :N], lp[0, :N]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def fused_cross_entropy(x, kernel, targets, weights, label_smoothing=0.0):
     """Summed CE + label smoothing over ``x @ kernel`` logits, flash-style.

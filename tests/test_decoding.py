@@ -357,3 +357,39 @@ def test_beam_lineage_matches_permute():
                                rtol=2e-2, atol=2e-3)
     np.testing.assert_array_equal(np.asarray(out_lineage["lengths"]),
                                   np.asarray(out_permute["lengths"]))
+
+
+def test_fused_head_greedy_and_speculative_parity(monkeypatch):
+    """PASERO_FUSED_HEAD=1 (the TPU greedy fast path: Pallas argmax head,
+    no fp32 (B, V) logits) produces identical tokens AND scores to the
+    materialized-logits path, for sample_decode and the speculative
+    verifier alike."""
+    from pasero_tpu.decoding.search import speculative_greedy_decode
+    cfg = small_cfg("llama_7b", "language_modeling", attention_heads_kv=2)
+    pad, eos = max(cfg.padding_idx, 0), cfg.eos_idx
+    B, P = 2, 6
+    rng = np.random.default_rng(3)
+    prompt = jnp.asarray(rng.integers(4, V, (B, P)), jnp.int32)
+    pm = jnp.ones((B, P), bool)
+    model = Transformer(cfg, src_vocab_size=V,
+                        self_cache_len=P + MAX_NEW + 5)
+    params = model.init(RNG, decoder_input=prompt)["params"]
+    common = dict(max_new=MAX_NEW, eos_idx=eos, pad_idx=pad)
+
+    runs = {}
+    for env in ["0", "1"]:
+        monkeypatch.setenv("PASERO_FUSED_HEAD", env)
+        runs[env] = (
+            sample_decode(model, params, prompt, pm, greedy=True, **common),
+            speculative_greedy_decode(model, params, prompt, pm,
+                                      draft_len=4, **common),
+        )
+    for i in range(2):
+        a, b = runs["0"][i], runs["1"][i]
+        np.testing.assert_array_equal(np.asarray(a["tokens"]),
+                                      np.asarray(b["tokens"]))
+        # scores agree to bf16 logit precision: the materialized path
+        # rounds logits to bf16 in HBM before the fp32 log_softmax; the
+        # fused head keeps the whole tile in fp32 (strictly more accurate)
+        np.testing.assert_allclose(np.asarray(a["scores"]),
+                                   np.asarray(b["scores"]), atol=2e-2)

@@ -94,3 +94,29 @@ def test_fused_ce_bf16_matches_fp32_direction():
                                 0.1)
     np.testing.assert_allclose(float(loss), float(l_ref), rtol=5e-3)
     assert loss.dtype == jnp.float32 and float(den) == N
+
+
+def test_fused_head_argmax_matches_explicit():
+    """The greedy decode head (argmax + logprob, logits never in HBM) is
+    bit-identical to argmax/log_softmax on materialized logits, including
+    first-occurrence tie-breaking and non-multiple-of-block shapes."""
+    from pasero_tpu.ops.fused_ce import fused_head_argmax
+    rng = np.random.default_rng(7)
+    for N, E, V in [(8, 64, 1000), (48, 128, 333), (130, 32, 4097)]:
+        x = jnp.asarray(rng.normal(size=(N, E)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(E, V)) * 0.05, jnp.float32)
+        tok, lp = fused_head_argmax(x, w)
+        logits = x @ w
+        np.testing.assert_array_equal(np.asarray(tok),
+                                      np.argmax(np.asarray(logits), axis=-1))
+        ref_lp = np.take_along_axis(
+            np.asarray(jax.nn.log_softmax(logits, -1)),
+            np.asarray(tok)[:, None], axis=1)[:, 0]
+        np.testing.assert_allclose(np.asarray(lp), ref_lp, atol=1e-5)
+
+    # exact ties: duplicate columns -> the smaller vocab index must win
+    x = jnp.ones((4, 16), jnp.float32)
+    w = jnp.zeros((16, 300), jnp.float32)
+    w = w.at[:, 7].set(1.0).at[:, 250].set(1.0)   # same score, two columns
+    tok, _ = fused_head_argmax(x, w)
+    assert np.all(np.asarray(tok) == 7)
