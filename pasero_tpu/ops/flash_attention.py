@@ -188,7 +188,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, out_ref, lse_ref, *,
                 num_k_blocks: int, block_k: int):
     """One (batch*head, q-block) program: stream over key blocks."""
     qb = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32) * scale           # (BQ, D)
+    # MXU dots take the native (bf16) operands with fp32 accumulation —
+    # fp32 matmul inputs run the MXU ~8x slower (measured: 71% of the 1B
+    # training step was these kernels before the change); the softmax and
+    # all state stay fp32, scale is applied to the fp32 scores
+    q = q_ref[0]                                        # (BQ, D) native dtype
     block_q = q.shape[0]
 
     m = jnp.full((block_q, 1), NEG_INF, jnp.float32)
@@ -200,10 +204,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, out_ref, lse_ref, *,
 
     def body(kb, carry):
         m, l, acc = carry
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # (BQ, BK)
+                                preferred_element_type=jnp.float32) * scale
         if bias_ref is not None:
             s = s + bias_ref[0, :, pl.ds(kb * block_k, block_k)].astype(jnp.float32)
         valid = mask_ref[0, 0, pl.ds(kb * block_k, block_k)] > 0      # (BK,)
@@ -221,7 +225,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, out_ref, lse_ref, *,
         p = jnp.exp(s - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         return m_new, l_new, acc_new
 
     if causal:
@@ -237,11 +242,149 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, out_ref, lse_ref, *,
     lse_ref[0, 0] = (m + jnp.log(l_safe))[:, 0]
 
 
+def _pick_packed_blocks(Sq: int, Sk: int, group: int, bwd: bool = False):
+    """Blocks for the group-packed kernels: the MXU M dimension is
+    group*block_q rows, so aim for ~2048 packed rows per matmul (the
+    on-chip sweep: per-iteration overhead dominates below ~1k rows).
+    PASERO_FLASH_[BWD_]BQ/BK override."""
+    pre = "PASERO_FLASH_BWD_" if bwd else "PASERO_FLASH_"
+    bq = _env_int(pre + "BQ") or max(128, min(512, 2048 // group))
+    bk = _env_int(pre + "BK") or 512
+    bq, bk = min(bq, Sq), min(bk, Sk)
+    while Sq % bq:
+        bq //= 2
+    while Sk % bk:
+        bk //= 2
+    return max(bq, 8), max(bk, 8)
+
+
+def _fwd_packed_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, lse_ref, *,
+                       scale: float, causal: bool, window: Optional[int],
+                       num_k_blocks: int, block_k: int):
+    """Group-packed forward: one (batch*kv_head, q-block) program computes
+    ALL ``group`` query heads that share this KV head in one matmul — the
+    q block is (group, BQ, D) flattened to (group*BQ, D) rows, so the MXU
+    sees M = group*BQ (2048 for llama-style GQA) instead of BQ, the K/V
+    VMEM staging is amortized group-fold, and there are group-fold fewer
+    programs.  All rows of the packed block share the same q positions
+    (they are the same BQ-slice of every head), so causal/window masking
+    is a plain per-row position compare, identical for each head."""
+    qb = pl.program_id(1)
+    group, block_q, D = q_ref.shape[1:]
+    rows = group * block_q
+    # bf16 MXU operands with fp32 accumulation; softmax state fp32
+    q = q_ref[0].reshape(rows, D)
+
+    m = jnp.full((group, block_q, 1), NEG_INF, jnp.float32)
+    l = jnp.zeros((group, block_q, 1), jnp.float32)
+    acc = jnp.zeros((rows, D), jnp.float32)
+
+    def make_body(masked: bool):
+        # interior causal blocks (every k strictly past the diagonal strip)
+        # skip the position iotas/compares entirely; key padding rides as a
+        # precomputed additive 0/-1e30 row, one broadcast add either way
+        def body(kb, carry):
+            m, l, acc = carry
+            k = k_ref[0, pl.ds(kb * block_k, block_k), :]
+            v = v_ref[0, pl.ds(kb * block_k, block_k), :]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32
+                                    ).reshape(group, block_q, block_k) * scale
+            s = s + mask_ref[0, 0, pl.ds(kb * block_k, block_k)][None, None, :]
+            if masked:
+                q_pos = qb * block_q + jax.lax.broadcasted_iota(
+                    jnp.int32, s.shape, 1)
+                k_pos = kb * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, s.shape, 2)
+                ok = k_pos <= q_pos if causal else (k_pos == k_pos)
+                if window is not None:
+                    ok &= (q_pos - k_pos) < window
+                s = jnp.where(ok, s, NEG_INF)
+
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc_new = (acc * alpha.reshape(rows, 1) + jax.lax.dot_general(
+                p.reshape(rows, block_k).astype(v.dtype), v,
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32))
+            return m_new, l_new, acc_new
+        return body
+
+    if causal:
+        upper = jnp.minimum(num_k_blocks,
+                            ((qb + 1) * block_q + block_k - 1) // block_k)
+    else:
+        upper = num_k_blocks
+    if causal and window is None:
+        # blocks fully below the diagonal need no causal mask
+        plain = (qb * block_q + 1) // block_k
+        carry = jax.lax.fori_loop(0, plain, make_body(False), (m, l, acc))
+        m, l, acc = jax.lax.fori_loop(plain, upper, make_body(True), carry)
+    else:
+        m, l, acc = jax.lax.fori_loop(0, upper, make_body(causal or
+                                                          window is not None),
+                                      (m, l, acc))
+
+    l_safe = jnp.where(l == 0, 1.0, l)
+    out_ref[0] = (acc / l_safe.reshape(rows, 1)
+                  ).reshape(group, block_q, D).astype(out_ref.dtype)
+    lse_ref[0] = (m + jnp.log(l_safe))[..., 0]
+
+
+def _pad_penalty(kv_mask):
+    """(B, 1, Sk) additive 0/-1e30 row the packed kernels add to scores —
+    one broadcast add replaces the load/compare/broadcast/where chain of a
+    boolean key mask on every inner block."""
+    return jnp.where(kv_mask, 0.0, NEG_INF).astype(jnp.float32)[:, None, :]
+
+
+def _fwd_packed(q, k, v, kv_mask, scale, causal, window):
+    """Resident forward with the GQA group packed into the matmul M dim."""
+    B, H, Sq, D = q.shape
+    Hkv, Sk = k.shape[1], k.shape[2]
+    group = H // Hkv
+    block_q, block_k = _pick_packed_blocks(Sq, Sk, group)
+    grid = (B * Hkv, Sq // block_q)
+    common = dict(memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _fwd_packed_kernel, scale=scale, causal=causal, window=window,
+        num_k_blocks=Sk // block_k, block_k=block_k)
+    out, lse = pl.pallas_call(
+        kernel, grid=grid, interpret=_interpret(),
+        compiler_params=None if _interpret() else _PACKED_PARAMS,
+        in_specs=[
+            pl.BlockSpec((1, group, block_q, D),
+                         lambda bh, qb: (bh, 0, qb, 0), **common),
+            pl.BlockSpec((1, Sk, D), lambda bh, qb: (bh, 0, 0), **common),
+            pl.BlockSpec((1, Sk, D), lambda bh, qb: (bh, 0, 0), **common),
+            pl.BlockSpec((1, 1, Sk), lambda bh, qb: (bh // Hkv, 0, 0),
+                         **common),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, group, block_q, D),
+                         lambda bh, qb: (bh, 0, qb, 0), **common),
+            pl.BlockSpec((1, group, block_q), lambda bh, qb: (bh, 0, qb),
+                         **common),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * Hkv, group, Sq, D), q.dtype),
+            jax.ShapeDtypeStruct((B * Hkv, group, Sq), jnp.float32),
+        ),
+    )(q.reshape(B * Hkv, group, Sq, D),
+      k.reshape(B * Hkv, Sk, D),
+      v.reshape(B * Hkv, Sk, D),
+      _pad_penalty(kv_mask))
+    return out.reshape(B, H, Sq, D), lse.reshape(B, H, Sq)
+
+
 def _fwd(q, k, v, kv_mask, bias, scale, causal, window):
     B, H, Sq, D = q.shape
     Hkv, Sk = k.shape[1], k.shape[2]
     if _use_streaming(Sk, D, k.dtype):
         return _fwd_stream(q, k, v, kv_mask, bias, scale, causal, window)
+    if bias is None:
+        return _fwd_packed(q, k, v, kv_mask, scale, causal, window)
     group = H // Hkv
     block_q, block_k = _pick_blocks(Sq, Sk, D)
     num_k_blocks = Sk // block_k
@@ -311,6 +454,16 @@ def _fwd(q, k, v, kv_mask, bias, scale, causal, window):
 _STREAM_LIMIT = 8 * 1024 * 1024
 
 
+# the group-packed kernels stage (group*BQ, BK) fp32 score tiles plus whole
+# K/V strips in VMEM; Mosaic's default 16 MB scoped-vmem cap is too small
+# for the large-tile regime that amortizes per-iteration overhead, so raise
+# it (v5e has 128 MB of VMEM per core)
+_PACKED_PARAMS = pltpu.CompilerParams(
+    dimension_semantics=("parallel", "arbitrary"),
+    vmem_limit_bytes=100 * 1024 * 1024,
+)
+
+
 def _use_streaming(Sk: int, D: int, dtype) -> bool:
     limit = _env_int("PASERO_FLASH_STREAM_LIMIT")
     if limit is None:
@@ -350,11 +503,12 @@ def _fwd_stream_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, out_ref,
 
     @pl.when(live if not isinstance(live, bool) else True)
     def _update():
-        q = q_ref[0].astype(jnp.float32) * scale
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
+        # bf16 MXU operands, fp32 accumulation/softmax (see _fwd_kernel)
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32) * scale
         q_pos = qb * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 0)
         k_pos = kb * block_k + jax.lax.broadcasted_iota(
@@ -377,7 +531,8 @@ def _fwd_stream_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, out_ref,
         m_scr[...] = m_new
         l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     @pl.when(kb == num_k_blocks - 1)
     def _finalize():
@@ -482,14 +637,15 @@ def _bwd_dq_stream_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, do_ref,
 
     @pl.when(live if not isinstance(live, bool) else True)
     def _update():
-        q = q_ref[0].astype(jnp.float32)
-        do = do_ref[0].astype(jnp.float32)
+        # bf16 MXU operands, fp32 accumulation (see _fwd_kernel)
+        q = q_ref[0]
+        do = do_ref[0]
         lse = lse_ref[0, 0][:, None]
         delta = delta_ref[0, 0][:, None]
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
-        s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+        k = k_ref[0]
+        v = v_ref[0]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
         q_pos = qb * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 0)
         k_pos = kb * block_k + jax.lax.broadcasted_iota(
@@ -508,7 +664,8 @@ def _bwd_dq_stream_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, do_ref,
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
-        dq_scr[...] += jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+        dq_scr[...] += jax.lax.dot_general(ds.astype(k.dtype), k,
+                                           (((1,), (0,)), ((), ())),
                                            preferred_element_type=jnp.float32)
 
     @pl.when(kb == num_k_blocks - 1)
@@ -539,14 +696,15 @@ def _bwd_dkv_stream_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, do_ref,
 
     @pl.when(live if not isinstance(live, bool) else True)
     def _update():
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
-        q = q_ref[0].astype(jnp.float32)
-        do = do_ref[0].astype(jnp.float32)
+        # bf16 MXU operands, fp32 accumulation (see _fwd_kernel)
+        k = k_ref[0]
+        v = v_ref[0]
+        q = q_ref[0]
+        do = do_ref[0]
         lse = lse_ref[0, 0][:, None]
         delta = delta_ref[0, 0][:, None]
-        s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
         q_pos = qb * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 0)
         k_pos = kb * block_k + jax.lax.broadcasted_iota(
@@ -562,11 +720,12 @@ def _bwd_dkv_stream_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, do_ref,
             ok &= (q_pos - k_pos) < window
         s = jnp.where(ok, s, NEG_INF)
         p = jnp.exp(s - lse)
-        dv_scr[...] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+        pc = p.astype(do.dtype)
+        dv_scr[...] += jax.lax.dot_general(pc, do, (((0,), (0,)), ((), ())),
                                            preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(q.dtype)
         dk_scr[...] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
                                            preferred_element_type=jnp.float32)
 
@@ -708,20 +867,21 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, do_ref, lse_ref,
                    delta_ref, dq_ref, *, scale, causal, window,
                    num_k_blocks, block_k):
     qb = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    # bf16 MXU operands, fp32 accumulation/softmax (see _fwd_kernel)
+    q = q_ref[0]
+    do = do_ref[0]
     lse = lse_ref[0, 0][:, None]
     delta = delta_ref[0, 0][:, None]
     block_q = q.shape[0]
     q_pos = qb * block_q + jax.lax.broadcasted_iota(
         jnp.int32, (block_q, block_k), 0)
-    dq = jnp.zeros_like(q)
+    dq = jnp.zeros(q.shape, jnp.float32)
 
     def body(kb, dq):
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
         if bias_ref is not None:
             s = s + bias_ref[0, :, pl.ds(kb * block_k, block_k)].astype(jnp.float32)
         valid = mask_ref[0, 0, pl.ds(kb * block_k, block_k)] > 0
@@ -736,7 +896,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, do_ref, lse_ref,
         p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(k.dtype)
         return dq + jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
 
@@ -752,23 +912,24 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, do_ref, lse_ref,
                     delta_ref, dk_ref, dv_ref, *, scale, causal, window,
                     num_q_blocks, block_q):
     kb = pl.program_id(1)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    # bf16 MXU operands, fp32 accumulation/softmax (see _fwd_kernel)
+    k = k_ref[0]
+    v = v_ref[0]
     block_k = k.shape[0]
     valid = mask_ref[0, 0] > 0                            # (BK,)
     k_pos = kb * block_k + jax.lax.broadcasted_iota(
         jnp.int32, (block_q, block_k), 1)
-    dk = jnp.zeros_like(k)
-    dv = jnp.zeros_like(v)
+    dk = jnp.zeros(k.shape, jnp.float32)
+    dv = jnp.zeros(v.shape, jnp.float32)
 
     def body(qb, carry):
         dk, dv = carry
-        q = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
-        do = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        q = q_ref[0, pl.ds(qb * block_q, block_q), :]
+        do = do_ref[0, pl.ds(qb * block_q, block_q), :]
         lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
         delta = delta_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
-        s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
         if bias_ref is not None:
             s = s + bias_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
         ok = jnp.broadcast_to(valid[None, :], s.shape)
@@ -780,11 +941,12 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, do_ref, lse_ref,
             ok &= (q_pos - k_pos) < window
         s = jnp.where(ok, s, NEG_INF)
         p = jnp.exp(s - lse)
-        dv_new = dv + jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+        pc = p.astype(do.dtype)
+        dv_new = dv + jax.lax.dot_general(pc, do, (((0,), (0,)), ((), ())),
                                           preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(q.dtype)
         dk_new = dk + jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
                                           preferred_element_type=jnp.float32)
         return dk_new, dv_new
@@ -798,6 +960,203 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, do_ref, lse_ref,
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
+def _bwd_dq_packed_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
+                          delta_ref, dq_ref, *, scale, causal, window,
+                          num_k_blocks, block_k):
+    """Group-packed dq: same geometry as _fwd_packed_kernel (one program
+    per (batch*kv_head, q-block) covering all query heads of the group)."""
+    qb = pl.program_id(1)
+    group, block_q, D = q_ref.shape[1:]
+    rows = group * block_q
+    q = q_ref[0].reshape(rows, D)
+    do = do_ref[0].reshape(rows, D)
+    lse = lse_ref[0][..., None]                  # (group, BQ, 1)
+    delta = delta_ref[0][..., None]
+    dq = jnp.zeros((rows, D), jnp.float32)
+
+    def make_body(masked: bool):
+        def body(kb, dq):
+            k = k_ref[0, pl.ds(kb * block_k, block_k), :]
+            v = v_ref[0, pl.ds(kb * block_k, block_k), :]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32
+                                    ).reshape(group, block_q, block_k) * scale
+            s = s + mask_ref[0, 0, pl.ds(kb * block_k, block_k)][None, None, :]
+            if masked:
+                q_pos = qb * block_q + jax.lax.broadcasted_iota(
+                    jnp.int32, s.shape, 1)
+                k_pos = kb * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, s.shape, 2)
+                ok = k_pos <= q_pos if causal else (k_pos == k_pos)
+                if window is not None:
+                    ok &= (q_pos - k_pos) < window
+                s = jnp.where(ok, s, NEG_INF)
+            p = jnp.exp(s - lse)
+            dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32
+                                     ).reshape(group, block_q, block_k)
+            ds = ((p * (dp - delta)).reshape(rows, block_k)).astype(k.dtype)
+            return dq + jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                            preferred_element_type=jnp.float32)
+        return body
+
+    if causal:
+        upper = jnp.minimum(num_k_blocks,
+                            ((qb + 1) * block_q + block_k - 1) // block_k)
+    else:
+        upper = num_k_blocks
+    if causal and window is None:
+        plain = (qb * block_q + 1) // block_k
+        dq = jax.lax.fori_loop(0, plain, make_body(False), dq)
+        dq = jax.lax.fori_loop(plain, upper, make_body(True), dq)
+    else:
+        dq = jax.lax.fori_loop(0, upper, make_body(causal or
+                                                   window is not None), dq)
+    dq_ref[0] = (dq * scale).reshape(group, block_q, D).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_packed_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
+                           delta_ref, dk_ref, dv_ref, *, scale, causal,
+                           window, num_q_blocks, block_q):
+    """Group-packed dk/dv: one program per (batch*kv_head, k-block).  The
+    GQA sum over the group's query heads happens INSIDE the dv/dk matmul
+    contractions (M = group*BQ packed rows), so dk/dv come out at KV-head
+    width directly — no (B, H, Sk, D) intermediate and no post-sum."""
+    kb = pl.program_id(1)
+    group = q_ref.shape[1]
+    k = k_ref[0]                                  # (BK, D)
+    v = v_ref[0]
+    block_k, D = k.shape
+    rows = group * block_q
+    pad = mask_ref[0, 0][None, None, :]           # (1, 1, BK) additive
+    dk = jnp.zeros((block_k, D), jnp.float32)
+    dv = jnp.zeros((block_k, D), jnp.float32)
+
+    def make_body(masked: bool):
+        def body(qb, carry):
+            dk, dv = carry
+            q = q_ref[0, :, pl.ds(qb * block_q, block_q), :].reshape(rows, D)
+            do = do_ref[0, :, pl.ds(qb * block_q, block_q), :].reshape(rows, D)
+            lse = lse_ref[0, :, pl.ds(qb * block_q, block_q)][..., None]
+            delta = delta_ref[0, :, pl.ds(qb * block_q, block_q)][..., None]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32
+                                    ).reshape(group, block_q, block_k) * scale
+            s = s + pad
+            if masked:
+                q_pos = qb * block_q + jax.lax.broadcasted_iota(
+                    jnp.int32, s.shape, 1)
+                k_pos = kb * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, s.shape, 2)
+                ok = k_pos <= q_pos if causal else (k_pos == k_pos)
+                if window is not None:
+                    ok &= (q_pos - k_pos) < window
+                s = jnp.where(ok, s, NEG_INF)
+            p = jnp.exp(s - lse)
+            pc = p.reshape(rows, block_k).astype(do.dtype)
+            dv_new = dv + jax.lax.dot_general(
+                pc, do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32
+                                     ).reshape(group, block_q, block_k)
+            ds = ((p * (dp - delta)).reshape(rows, block_k)).astype(q.dtype)
+            dk_new = dk + jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return dk_new, dv_new
+        return body
+
+    lower = kb * block_k // block_q if causal else 0
+    if causal and window is None:
+        # q blocks fully past this k block's diagonal strip are unmasked
+        plain = jnp.minimum(num_q_blocks,
+                            ((kb + 1) * block_k - 1 + block_q - 1) // block_q)
+        dk, dv = jax.lax.fori_loop(lower, plain, make_body(True), (dk, dv))
+        dk, dv = jax.lax.fori_loop(plain, num_q_blocks, make_body(False),
+                                   (dk, dv))
+    else:
+        dk, dv = jax.lax.fori_loop(lower, num_q_blocks,
+                                   make_body(causal or window is not None),
+                                   (dk, dv))
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _bwd_packed(scale, causal, window, q, k, v, kv_mask, do, lse, delta):
+    """Resident backward with the GQA group packed into the matmul M dim."""
+    B, H, Sq, D = q.shape
+    Hkv, Sk = k.shape[1], k.shape[2]
+    group = H // Hkv
+    BQ, BK = _pick_packed_blocks(Sq, Sk, group, bwd=True)
+    common = dict(memory_space=pltpu.VMEM)
+    q_r = q.reshape(B * Hkv, group, Sq, D)
+    do_r = do.reshape(B * Hkv, group, Sq, D)
+    k_r = k.reshape(B * Hkv, Sk, D)
+    v_r = v.reshape(B * Hkv, Sk, D)
+    lse_r = lse.reshape(B * Hkv, group, Sq)
+    delta_r = delta.reshape(B * Hkv, group, Sq)
+    mask_r = _pad_penalty(kv_mask)
+
+    dq_kernel = functools.partial(
+        _bwd_dq_packed_kernel, scale=scale, causal=causal, window=window,
+        num_k_blocks=Sk // BK, block_k=BK)
+    dq = pl.pallas_call(
+        dq_kernel, grid=(B * Hkv, Sq // BQ), interpret=_interpret(),
+        compiler_params=None if _interpret() else _PACKED_PARAMS,
+        in_specs=[
+            pl.BlockSpec((1, group, BQ, D), lambda bh, qb: (bh, 0, qb, 0),
+                         **common),
+            pl.BlockSpec((1, Sk, D), lambda bh, qb: (bh, 0, 0), **common),
+            pl.BlockSpec((1, Sk, D), lambda bh, qb: (bh, 0, 0), **common),
+            pl.BlockSpec((1, 1, Sk), lambda bh, qb: (bh // Hkv, 0, 0),
+                         **common),
+            pl.BlockSpec((1, group, BQ, D), lambda bh, qb: (bh, 0, qb, 0),
+                         **common),
+            pl.BlockSpec((1, group, BQ), lambda bh, qb: (bh, 0, qb),
+                         **common),
+            pl.BlockSpec((1, group, BQ), lambda bh, qb: (bh, 0, qb),
+                         **common),
+        ],
+        out_specs=pl.BlockSpec((1, group, BQ, D),
+                               lambda bh, qb: (bh, 0, qb, 0), **common),
+        out_shape=jax.ShapeDtypeStruct((B * Hkv, group, Sq, D), q.dtype),
+    )(q_r, k_r, v_r, mask_r, do_r, lse_r, delta_r)
+
+    dkv_kernel = functools.partial(
+        _bwd_dkv_packed_kernel, scale=scale, causal=causal, window=window,
+        num_q_blocks=Sq // BQ, block_q=BQ)
+    dk, dv = pl.pallas_call(
+        dkv_kernel, grid=(B * Hkv, Sk // BK), interpret=_interpret(),
+        compiler_params=None if _interpret() else _PACKED_PARAMS,
+        in_specs=[
+            pl.BlockSpec((1, group, Sq, D), lambda bh, kb: (bh, 0, 0, 0),
+                         **common),
+            pl.BlockSpec((1, BK, D), lambda bh, kb: (bh, kb, 0), **common),
+            pl.BlockSpec((1, BK, D), lambda bh, kb: (bh, kb, 0), **common),
+            pl.BlockSpec((1, 1, BK), lambda bh, kb: (bh // Hkv, 0, kb),
+                         **common),
+            pl.BlockSpec((1, group, Sq, D), lambda bh, kb: (bh, 0, 0, 0),
+                         **common),
+            pl.BlockSpec((1, group, Sq), lambda bh, kb: (bh, 0, 0),
+                         **common),
+            pl.BlockSpec((1, group, Sq), lambda bh, kb: (bh, 0, 0),
+                         **common),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, BK, D), lambda bh, kb: (bh, kb, 0), **common),
+            pl.BlockSpec((1, BK, D), lambda bh, kb: (bh, kb, 0), **common),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * Hkv, Sk, D), k.dtype),
+            jax.ShapeDtypeStruct((B * Hkv, Sk, D), v.dtype),
+        ),
+    )(q_r, k_r, v_r, mask_r, do_r, lse_r, delta_r)
+
+    return (dq.reshape(B, H, Sq, D), dk.reshape(B, Hkv, Sk, D),
+            dv.reshape(B, Hkv, Sk, D))
+
+
 def _dbias_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, do_ref, lse_ref,
                   delta_ref, dbias_ref, *, scale, causal, window,
                   num_k_blocks, block_k):
@@ -806,8 +1165,9 @@ def _dbias_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, do_ref, lse_ref,
     the same output block are contiguous, so read-modify-write is exact."""
     qb = pl.program_id(1)
     b = pl.program_id(2)
-    q = q_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    # bf16 MXU operands, fp32 accumulation/softmax (see _fwd_kernel)
+    q = q_ref[0]
+    do = do_ref[0]
     lse = lse_ref[0, 0][:, None]
     delta = delta_ref[0, 0][:, None]
     block_q = q.shape[0]
@@ -819,10 +1179,10 @@ def _dbias_kernel(q_ref, k_ref, v_ref, mask_ref, bias_ref, do_ref, lse_ref,
         dbias_ref[...] = jnp.zeros(dbias_ref.shape, dbias_ref.dtype)
 
     def body(kb, _):
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
         s = s + bias_ref[0, :, pl.ds(kb * block_k, block_k)].astype(jnp.float32)
         valid = mask_ref[0, 0, pl.ds(kb * block_k, block_k)] > 0
         ok = jnp.broadcast_to(valid[None, :], s.shape)
@@ -916,14 +1276,15 @@ def _demb_kernel(q_ref, k_ref, v_ref, mask_ref, table_ref, do_ref, lse_ref,
 
     @pl.when(live if not isinstance(live, bool) else True)
     def _update():
-        q = q_ref[0].astype(jnp.float32)
-        do = do_ref[0].astype(jnp.float32)
+        # bf16 MXU operands, fp32 accumulation/softmax (see _fwd_kernel)
+        q = q_ref[0]
+        do = do_ref[0]
         lse = lse_ref[0, 0][:, None]
         delta = delta_ref[0, 0][:, None]
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
-        s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+        k = k_ref[0]
+        v = v_ref[0]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
         q_pos = qb * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 0)
         k_pos = kb * block_k + jax.lax.broadcasted_iota(
@@ -1067,6 +1428,11 @@ def _bwd(scale, causal, window, residuals, g):
                 delta.reshape(B * H, 1, Sq), B, H, group, Sq, Sk, D,
                 scale, causal, window)
         return dq_s.reshape(B, H, Sq, D), dk_s, dv_s, None, dbias_s
+
+    if bias is None:
+        dq_p, dk_p, dv_p = _bwd_packed(scale, causal, window, q, k, v,
+                                       kv_mask, do, lse, delta)
+        return dq_p, dk_p, dv_p, None, None
 
     mask_bh = jnp.broadcast_to(kv_mask[:, None, :], (B, H, Sk)
                                ).reshape(B * H, 1, Sk).astype(jnp.int32)
