@@ -282,6 +282,11 @@ class TrainingConfig(DistributedConfig, TrackerConfig, EvalConfig, DecodingConfi
         self.task_cfg.set_max_length(self.model_cfg)
         self.task_cfg.finalize()
 
+        if self.only_validate:
+            # validation-only runs need no schedule (set before the
+            # schedule asserts: --only-validate alone must work)
+            self.max_steps = 0
+            self.valid_interval = self.valid_interval or self.log_interval
         assert self.max_steps is not None, "--max-steps is required"
         assert self.valid_interval, "--valid-interval is required"
         if not self.save_interval:

@@ -251,6 +251,14 @@ class Trainer:
             self.state = self.state.replace(step=step_arr)
             self.loaded_step = step
             logger.info(f"resumed at step {step}")
+        elif getattr(cfg, "only_validate", False) and step:
+            # --only-validate resets the optimizer, but validation must
+            # still report (and expected_scores must gate) at the
+            # checkpoint's own step, not step 0
+            step_arr = (bootstrap.replicated_scalar(step, self.mesh, jnp.int32)
+                        if self.multiprocess else jnp.asarray(step, jnp.int32))
+            self.state = self.state.replace(step=step_arr)
+            self.loaded_step = step
         if is_latest:
             # a stale interrupt checkpoint must not shadow future model_last
             # saves; the reference deletes it after resuming (cli/train.py:438)

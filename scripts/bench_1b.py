@@ -99,7 +99,7 @@ def bench_train(steps: int, batch_tokens: int, policy: str = "dots",
                       "ckpt_interval": ckpt_interval, "batch": [B, T]}))
 
 
-def bench_decode(max_new: int, batch: int):
+def bench_decode(max_new: int, batch: int, prompt_style: str = "copy"):
     import jax
     import jax.numpy as jnp
     from pasero_tpu.decoding.search import (sample_decode,
@@ -108,11 +108,16 @@ def bench_decode(max_new: int, batch: int):
     B, P, N, K = batch, 128, max_new, 7
     model, cfg, vocab = build_model(
         {}, self_cache_len=P + N + 8 + 1)
-    # copy-heavy prompt: a repeated 16-token phrase (the speculative
-    # decoder's home turf: translation/summarization/code copy spans)
     rng = np.random.default_rng(0)
-    phrase = rng.integers(4, vocab, 16)
-    prompt = jnp.asarray(np.tile(phrase, (B, P // 16)), jnp.int32)
+    if prompt_style == "copy":
+        # copy-heavy prompt: a repeated 16-token phrase (the speculative
+        # decoder's home turf: translation/summarization/code copy spans)
+        phrase = rng.integers(4, vocab, 16)
+        prompt = jnp.asarray(np.tile(phrase, (B, P // 16)), jnp.int32)
+    else:
+        # adversarial: i.i.d. random tokens — n-gram lookup drafts almost
+        # never verify, so this bounds speculative's worst case honestly
+        prompt = jnp.asarray(rng.integers(4, vocab, (B, P)), jnp.int32)
     prompt_mask = jnp.ones((B, P), bool)
 
     params = jax.jit(lambda: model.init(
@@ -148,7 +153,8 @@ def bench_decode(max_new: int, batch: int):
     same = np.array_equal(np.asarray(out_g["tokens"]),
                           np.asarray(out_s["tokens"]))
     print(json.dumps({
-        "metric": "decode_1b", "greedy_tok_s": round(B * N / t_g, 1),
+        "metric": "decode_1b", "prompt_style": prompt_style,
+        "greedy_tok_s": round(B * N / t_g, 1),
         "speculative_tok_s": round(B * N / t_s, 1),
         "speculative_speedup": round(t_g / t_s, 2),
         "outputs_identical": bool(same)}))
@@ -172,6 +178,10 @@ def main():
     parser.add_argument("--ckpt-interval", type=int, default=1,
                         help="remat every Nth layer only (with a remat "
                              "--policy); the memory/recompute middle ground")
+    parser.add_argument("--prompt-style", default="copy",
+                        choices=["copy", "random"],
+                        help="--decode prompts: 'copy' = speculative's home "
+                             "regime, 'random' = adversarial worst case")
     args = parser.parse_args()
 
     from pasero_tpu.utils.platform import apply_platform_env
@@ -181,7 +191,7 @@ def main():
                     attention=args.attention, seq_len=args.seq_len,
                     ckpt_interval=args.ckpt_interval)
     if args.decode:
-        bench_decode(args.max_new, args.batch)
+        bench_decode(args.max_new, args.batch, prompt_style=args.prompt_style)
 
 
 if __name__ == "__main__":

@@ -38,16 +38,18 @@ def clean_env():
     return env
 
 
-def launch_pair(mode, workdir, extra_args=(), timeout=900):
+def launch_pair(mode, workdir, extra_args=(), timeout=900, env_extra=None):
     """Run both processes of the 2-process cluster; return their results."""
     port = free_port()
     outs = [os.path.join(workdir, f"out{i}.json") for i in range(2)]
+    env = clean_env()
+    env.update(env_extra or {})
     procs = []
     for i in range(2):
         procs.append(subprocess.Popen(
             [sys.executable, WORKER, mode, str(port), str(i), outs[i],
              *extra_args],
-            cwd=workdir, env=clean_env(),
+            cwd=workdir, env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
     logs = []
     for p in procs:
@@ -237,6 +239,40 @@ def test_two_process_decode_matches_single(corpus_dir):
         f"multi-host decode diverged:\n{multi_lines[:5]}\nvs\n{ref_lines[:5]}")
     # both processes logged the same BLEU
     assert "bleu" in logs[0]
+
+
+@pytest.mark.slow
+def test_two_process_dynamic_pipeline(corpus_dir):
+    """The PRODUCTION data pipeline (line reader -> tokenizer worker pool ->
+    bucketed fixed-shape batcher, --dataset-type dynamic) under a 2-process
+    cluster with sharded per-host input: each host runs its own worker pool
+    on a disjoint sample stream (distinct per-host RNG) and training
+    completes with finite losses and a master-only checkpoint.  The round-3
+    review noted sharded input had only ever run with the debug dataset."""
+    args = [a if a != "debug" else "dynamic" for a in TRAIN_ARGS]
+    _, logs = launch_pair(
+        "train", corpus_dir,
+        extra_args=["-o", "model_dynpipe", *args, "--num-workers", "2",
+                    "--per-host-data", "sharded", "--max-target-len", "16",
+                    "--max-source-len", "16"],
+        # 2 processes x (trainer + 2 spawn-context workers) on a 1-CPU CI
+        # host: give the pool time to warm up
+        timeout=1800,
+        # the 1-CPU clamp would silence the pool; force it on (the pool's
+        # correctness on 1 CPU is proven by tests/test_pipeline.py)
+        env_extra={"PASERO_FORCE_WORKERS": "2"})
+    losses = parse_losses(logs[0])
+    assert losses, f"no loss lines:\n{logs[0][-3000:]}"
+    import math
+    assert all(math.isfinite(v) for v in losses.values())
+    # both hosts started their own pool and took their own disjoint shard
+    for rank, log in enumerate(logs):
+        assert "started 2 tokenizer worker processes" in log, \
+            f"rank {rank} ran without the worker pool:\n{log[-2000:]}"
+    assert "per-host data shard 0/2" in logs[0] + logs[1]
+    assert "per-host data shard 1/2" in logs[0] + logs[1]
+    assert os.path.exists(
+        os.path.join(corpus_dir, "model_dynpipe", "model_3.npz"))
 
 
 @pytest.mark.slow
