@@ -390,13 +390,6 @@ def beam_search(
         [prompt_mask_k, jnp.ones((B * K, max_new), bool)], axis=1)
     param_list = _member_list(params)
     average = len(param_list) > 1
-    last_scores, cache = _members_apply(
-        model, param_list, None, prompt_k, average=average,
-        encoder_out=encoder_out_k, encoder_mask=encoder_mask_k,
-        positions=positions, tgt_mask=jnp.ones((B * K, P), bool),
-        self_kv_mask=pad_valid_k)
-    last_logprobs = (last_scores if average
-                     else jax.nn.log_softmax(last_scores, -1))
 
     dummy_encoder = (jnp.zeros((B * K, 1, encoder_out.shape[-1]),
                                encoder_out.dtype)
@@ -406,15 +399,41 @@ def beam_search(
     # live state
     live_scores0 = jnp.tile(jnp.array([0.0] + [V_neg] * (K - 1)), (B, 1))
 
-    def mask_special(logprobs, step):
+    def select_candidates(scores, step):
+        """Per-row top-2K candidate selection, fused against the model call.
+
+        ``scores`` is the raw (B*K, V) fp32 logits (single member) or the
+        averaged log-probs (ensembles).  Selecting on raw logits is exact:
+        within a row both the log-softmax normalizer and the running beam
+        score are CONSTANT shifts, so the top-2K *indices* are unchanged —
+        the lse is subtracted from only the 2K survivors afterwards.  This
+        keeps the fp32 (B*K, V) log-probs (41 MB at the bench shape) out of
+        HBM and — because selection now happens in the same loop iteration
+        as the model call that produced the logits — out of the while-loop
+        carry entirely (profiled: the logprobs carry + log_softmax + the
+        (B, K, V) candidate add were ~0.5 ms of a 3.65 ms step at B=64 K=5).
+        """
+        lse = (None if average
+               else jax.scipy.special.logsumexp(scores, axis=-1, keepdims=True))
         if blacklist_arr is not None:
-            logprobs = logprobs.at[:, :, blacklist_arr].set(V_neg)
+            scores = scores.at[:, blacklist_arr].set(V_neg)
         if min_lengths is not None:
-            too_short = step < jnp.asarray(min_lengths)
-            eos_col = (jnp.arange(logprobs.shape[-1]) == eos_idx)
-            logprobs = jnp.where(too_short[:, None, None] & eos_col[None, None, :],
-                                 V_neg, logprobs)
-        return logprobs
+            too_short = jnp.repeat(step < jnp.asarray(min_lengths), K)
+            eos_col = (jnp.arange(scores.shape[-1]) == eos_idx)
+            scores = jnp.where(too_short[:, None] & eos_col[None, :],
+                               V_neg, scores)
+        vals, idx = _topk_wide(scores, 2 * K)               # (B*K, 2K)
+        if lse is not None:
+            vals = vals - lse
+        return vals, idx
+
+    last_scores, cache = _members_apply(
+        model, param_list, None, prompt_k, average=average,
+        encoder_out=encoder_out_k, encoder_mask=encoder_mask_k,
+        positions=positions, tgt_mask=jnp.ones((B * K, P), bool),
+        self_kv_mask=pad_valid_k)
+    sel0 = select_candidates(last_scores.astype(jnp.float32),
+                             jnp.zeros((), jnp.int32))
 
     def norm(score, length):
         return score / ((length.astype(jnp.float32) + 1.0) ** len_penalty)
@@ -429,19 +448,17 @@ def beam_search(
         return (step < max_new) & jnp.any(improvable)
 
     def body(carry):
-        (step, cache, logprobs, tokens_buf, pos_scores_buf, live_scores,
+        (step, cache, sel, tokens_buf, pos_scores_buf, live_scores,
          fin_scores, fin_tokens, fin_pos_scores, fin_lengths,
          lineage_buf) = carry
-        logprobs = _unflatten_beam(logprobs, B, K)          # (B, K, V)
-        logprobs = mask_special(logprobs, step)
-        V = logprobs.shape[-1]
-        cand = live_scores[:, :, None] + logprobs            # (B, K, V)
-        # exact two-stage top-2K: per-beam-row top-2K in the model output's
-        # natural (B*K, V) layout, then top-2K of the K*2K survivors.  The
-        # one-stage top_k over (B, K*V) needed a layout-changing copy of the
-        # 84 MB candidate tensor plus a wider partial-reduce — together
-        # ~1.2 of the 4.4 ms/call at B=64 K=5 V=32k (profiled on v5e)
-        row_scores, row_idx = _topk_wide(cand.reshape(B * K, V), 2 * K)
+        # sel: per-row top-2K (log-prob values, vocab indices) of the
+        # previous model call's distribution — see select_candidates
+        sel_vals, row_idx = sel                              # (B*K, 2K)
+        row_scores = (live_scores.reshape(B * K, 1) + sel_vals)
+        # second selection stage: top-2K of the K*2K survivors per sentence
+        # (the one-stage top_k over (B, K*V) needed a layout-changing copy
+        # of the 84 MB candidate tensor plus a wider partial-reduce —
+        # ~1.2 of the 4.4 ms/call at B=64 K=5 V=32k, profiled on v5e)
         top_scores, pos = jax.lax.top_k(row_scores.reshape(B, K * 2 * K),
                                         2 * K)               # (B, 2K)
         beam_idx = pos // (2 * K)
@@ -513,9 +530,8 @@ def beam_search(
             encoder_mask=encoder_mask_k, positions=pos,
             tgt_mask=jnp.ones((B * K, 1), bool), self_kv_mask=pad_valid_k,
             **extra)
-        new_logprobs = (new_scores if average
-                        else jax.nn.log_softmax(new_scores, -1))
-        return (step + 1, new_cache, new_logprobs, tokens_buf,
+        new_sel = select_candidates(new_scores.astype(jnp.float32), step + 1)
+        return (step + 1, new_cache, new_sel, tokens_buf,
                 pos_scores_buf, new_live_scores, fin_scores, fin_tokens,
                 fin_pos_scores, fin_lengths, lineage)
 
@@ -524,7 +540,7 @@ def beam_search(
                                  (B, K, P + max_new))
                 if use_lineage else jnp.zeros((1, 1, 1), jnp.int32))
     init = (
-        jnp.zeros((), jnp.int32), cache, last_logprobs,
+        jnp.zeros((), jnp.int32), cache, sel0,
         jnp.full((B * K, max_new), pad_idx, jnp.int32),
         jnp.zeros((B * K, max_new), jnp.float32),
         live_scores0,
@@ -534,7 +550,7 @@ def beam_search(
         jnp.zeros((B, K), jnp.int32),
         lineage0,
     )
-    (step, cache, logprobs, tokens_buf, pos_scores_buf, live_scores,
+    (step, cache, _, tokens_buf, pos_scores_buf, live_scores,
      fin_scores, fin_tokens, fin_pos_scores, fin_lengths,
      _) = jax.lax.while_loop(cond, body, init)
 
