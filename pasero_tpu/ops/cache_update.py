@@ -31,7 +31,7 @@ def _write_kernel(idx_ref, cache_ref, new_ref, out_ref, *, window):
     # second-to-last block dim to be a multiple of 8, so a 1-slot block
     # is not expressible — an 8-slot read-modify-write is)
     j = idx_ref[0] % window
-    cur = cache_ref[...]                              # (1, H, window, D)
+    cur = cache_ref[...]                              # (B, H, window, D)
     slot = jax.lax.broadcasted_iota(jnp.int32, cur.shape, 2)
     out_ref[...] = jnp.where(slot == j, new_ref[...], cur)
 
@@ -55,15 +55,20 @@ def cache_slot_write(cache, new, index, force_pallas: bool = False):
             (0, 0, jnp.asarray(index, jnp.int32), 0))
     B, H, L, D = cache.shape
     window = min(8, L)       # slot block: multiple-of-8 TPU sublane tiling
-    slot_block = lambda b, idx_ref: (b, 0, idx_ref[0] // window, 0)
+    # ONE program covering the whole batch: the slot window of every
+    # (b, h) row is fetched as a single strided DMA (B*H chunks of
+    # window*D bytes).  A grid over B — one program per batch row — was
+    # dispatch-latency-bound: 320 programs x 12 cache writes/step cost
+    # ~0.5 ms of a 3.6 ms beam-decode step (profiled on v5e).
+    slot_block = lambda _, idx_ref: (0, 0, idx_ref[0] // window, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B,),
+        grid=(1,),
         in_specs=[
-            pl.BlockSpec((1, H, window, D), slot_block),
-            pl.BlockSpec((1, H, 1, D), lambda b, idx_ref: (b, 0, 0, 0)),
+            pl.BlockSpec((B, H, window, D), slot_block),
+            pl.BlockSpec((B, H, 1, D), lambda _, idx_ref: (0, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, H, window, D), slot_block),
+        out_specs=pl.BlockSpec((B, H, window, D), slot_block),
     )
     return pl.pallas_call(
         functools.partial(_write_kernel, window=window),

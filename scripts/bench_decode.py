@@ -28,6 +28,9 @@ def main(argv=None):
     parser.add_argument("--vocab", type=int, default=32768)
     parser.add_argument("--arch", default="transformer")
     parser.add_argument("--repeats", type=int, default=3)
+    parser.add_argument("--only", choices=["greedy", "permute", "lineage"],
+                        help="run a single variant (clean per-variant "
+                             "profiles under scripts/profile_decode.py)")
     args = parser.parse_args(argv)
 
     from pasero_tpu.utils.platform import apply_platform_env
@@ -90,10 +93,15 @@ def main(argv=None):
     beam_lineage = jax.jit(lambda p: beam_search(model, p, prompt,
                                                  prompt_mask, beam_size=K,
                                                  lineage=True, **common))
-    timed("greedy", greedy)
-    permute_rate = timed(f"beam-{K} cache permute", beam_permute)
-    lineage_rate = timed(f"beam-{K} lineage (no reorder)", beam_lineage)
-    print(f"lineage speedup over permute: {lineage_rate/permute_rate:.2f}x")
+    if args.only in (None, "greedy"):
+        timed("greedy", greedy)
+    if args.only in (None, "permute"):
+        permute_rate = timed(f"beam-{K} cache permute", beam_permute)
+    if args.only in (None, "lineage"):
+        lineage_rate = timed(f"beam-{K} lineage (no reorder)", beam_lineage)
+    if args.only is None:
+        print(f"lineage speedup over permute: "
+              f"{lineage_rate/permute_rate:.2f}x")
 
 
 if __name__ == "__main__":
