@@ -425,6 +425,14 @@ def beam_search(
         vals, idx = _topk_wide(scores, 2 * K)               # (B*K, 2K)
         if lse is not None:
             vals = vals - lse
+            if blacklist_arr is not None or min_lengths is not None:
+                # restore the masked-token invariant: blacklist/min-length
+                # masking happened in *logit* space, so a masked token that
+                # survives into the top-2K would carry V_neg - lse here
+                # rather than exactly V_neg.  Clamp it back so downstream
+                # comparisons (e.g. the `fin_scores <= V_neg/2` fallback)
+                # keep their exact-NEG_INF assumption.
+                vals = jnp.where(vals < V_neg * 0.5, V_neg, vals)
         return vals, idx
 
     last_scores, cache = _members_apply(

@@ -55,20 +55,32 @@ def cache_slot_write(cache, new, index, force_pallas: bool = False):
             (0, 0, jnp.asarray(index, jnp.int32), 0))
     B, H, L, D = cache.shape
     window = min(8, L)       # slot block: multiple-of-8 TPU sublane tiling
-    # ONE program covering the whole batch: the slot window of every
+    # FEW programs covering the whole batch: the slot window of every
     # (b, h) row is fetched as a single strided DMA (B*H chunks of
     # window*D bytes).  A grid over B — one program per batch row — was
     # dispatch-latency-bound: 320 programs x 12 cache writes/step cost
-    # ~0.5 ms of a 3.6 ms beam-decode step (profiled on v5e).
-    slot_block = lambda _, idx_ref: (0, 0, idx_ref[0] // window, 0)
+    # ~0.5 ms of a 3.6 ms beam-decode step (profiled on v5e).  But one
+    # program staging the FULL (B, H, window, D) slab (input block +
+    # output block both VMEM-resident) overflows VMEM for big decode
+    # configs (B*K=512, H=16, D=128 bf16 is ~17 MB/block on a ~16 MB
+    # v5e); tile the grid over batch chunks sized to cap block bytes.
+    itemsize = jnp.dtype(cache.dtype).itemsize
+    per_row = (2 * window + 1) * H * D * itemsize   # in + out + new blocks
+    vmem_cap = 4 * 1024 * 1024                       # comfortable margin
+    bblk = 1
+    for cand in range(B, 0, -1):
+        if B % cand == 0 and cand * per_row <= vmem_cap:
+            bblk = cand
+            break
+    slot_block = lambda i, idx_ref: (i, 0, idx_ref[0] // window, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(1,),
+        grid=(B // bblk,),
         in_specs=[
-            pl.BlockSpec((B, H, window, D), slot_block),
-            pl.BlockSpec((B, H, 1, D), lambda _, idx_ref: (0, 0, 0, 0)),
+            pl.BlockSpec((bblk, H, window, D), slot_block),
+            pl.BlockSpec((bblk, H, 1, D), lambda i, idx_ref: (i, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((B, H, window, D), slot_block),
+        out_specs=pl.BlockSpec((bblk, H, window, D), slot_block),
     )
     return pl.pallas_call(
         functools.partial(_write_kernel, window=window),

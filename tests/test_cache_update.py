@@ -21,6 +21,18 @@ def test_cache_slot_write_parity():
         np.testing.assert_array_equal(np.asarray(got2), np.asarray(want))
 
 
+def test_cache_slot_write_batch_tiled():
+    # big enough that the VMEM cap forces bblk < B (grid over batch chunks)
+    B, H, L, D = 64, 8, 16, 128
+    rng = np.random.default_rng(1)
+    cache = jnp.asarray(rng.normal(size=(B, H, L, D)), jnp.float32)
+    new = jnp.asarray(rng.normal(size=(B, H, 1, D)), jnp.float32)
+    idx = 9
+    want = jax.lax.dynamic_update_slice(cache, new, (0, 0, idx, 0))
+    got = cache_slot_write(cache, new, idx, force_pallas=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_cache_slot_write_traced_index():
     B, H, L, D = 2, 2, 8, 32
     cache = jnp.zeros((B, H, L, D), jnp.bfloat16)
