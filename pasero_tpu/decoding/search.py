@@ -105,12 +105,20 @@ def _member_list(params):
 def _use_fused_head(model) -> bool:
     """Greedy paths may use the fused Pallas vocab head (argmax + logprob
     without fp32 (B, V) logits in HBM).  PASERO_FUSED_HEAD: 1 forces it
-    (CPU interpret-mode tests), 0 disables, auto (default) = TPU only."""
+    (CPU interpret-mode tests), 0 disables, auto (default) = TPU AND a
+    weight-bound head (embed dim >= 1024): A/B'd on a v5e chip
+    (2026-08-20), the kernel wins in the 1B llama regime but loses ~5%
+    at transformer-base (E=512, B=64), where the (B, V) fp32 round-trip
+    it saves is small and per-call kernel overhead dominates."""
     import os
     env = os.environ.get("PASERO_FUSED_HEAD", "auto")
-    return (getattr(model, "supports_fused_head", False)
-            and (env == "1"
-                 or (env == "auto" and jax.default_backend() == "tpu")))
+    if not getattr(model, "supports_fused_head", False):
+        return False
+    if env == "1":
+        return True
+    embed_dim = getattr(getattr(model, "cfg", None), "embed_dim", 0)
+    return (env == "auto" and jax.default_backend() == "tpu"
+            and embed_dim >= 1024)
 
 
 def _members_apply(model, param_list, cache_list, tokens, *, average, **kwargs):
@@ -358,17 +366,16 @@ def beam_search(
     # no-reorder beam attention (attention.lineage_attention): instead of
     # permuting the self-attention KV cache at every step, track each logical
     # beam's physical cache row per slot and resolve the lineage inside
-    # attention.  Measured on a v5e chip (scripts/bench_decode.py +
-    # bench_lineage_step.py, transformer-base B=64 beam-5): lineage's
-    # masked softmax over the (physical-row, slot) axes costs ~0.27
-    # ms/layer of extra VPU/HBM work — a CONSTANT in cache length — while
-    # the flat-one-hot permute's cost scales with cache bytes (ties at
-    # ~65 slots, loses 1.7x at 320).  Default: permute for short caches,
-    # lineage past ~128 slots; lineage=True/False forces a path (the LSTM
-    # hybrid has no beam_lineage hook and always permutes).
+    # attention.  Measured on a v5e chip (scripts/bench_decode.py,
+    # transformer-base B=64 beam-5): with candidate selection fused into
+    # the model call (round 4) lineage wins at EVERY cache length — 20.3k
+    # vs 17.6k tok/s at 65 slots, 10.0k vs 3.9k at 320 (the permute's
+    # cache reshuffle scales with cache bytes; lineage's masked softmax is
+    # a constant ~0.27 ms/layer) — so it is the default whenever the model
+    # supports it.  lineage=False forces the permute path (the LSTM hybrid
+    # has no beam_lineage hook and always permutes).
     if lineage is None:
-        cache_slots = getattr(model, "self_cache_len", 0) or (P + max_new)
-        lineage = cache_slots > 128
+        lineage = True
     use_lineage = (lineage and K > 1
                    and getattr(model, "supports_beam_lineage", False))
 

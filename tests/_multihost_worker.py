@@ -10,6 +10,24 @@ import sys
 mode, port, pid, out_file = (sys.argv[1], int(sys.argv[2]), int(sys.argv[3]),
                              sys.argv[4])
 
+# orphan watchdog: if the pytest parent is killed externally (round driver
+# timeout, ctrl-C during communicate), the two workers can hang forever on
+# the jax.distributed barrier and leak (observed: 4 such workers surviving
+# hours on the CI host).  A daemon thread exits hard when the parent dies
+# (re-parented to init) or after an absolute deadline.
+def _watchdog(deadline_s=2400.0):
+    import time
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < deadline_s:
+        if os.getppid() == 1:
+            os._exit(70)
+        time.sleep(5.0)
+    os._exit(71)
+
+
+import threading
+threading.Thread(target=_watchdog, daemon=True).start()
+
 flags = os.environ.get("XLA_FLAGS", "")
 os.environ["XLA_FLAGS"] = \
     (flags + " --xla_force_host_platform_device_count=4").strip()

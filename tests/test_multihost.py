@@ -52,14 +52,16 @@ def launch_pair(mode, workdir, extra_args=(), timeout=900, env_extra=None):
             cwd=workdir, env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
     logs = []
-    for p in procs:
-        try:
+    try:
+        for p in procs:
             out, _ = p.communicate(timeout=timeout)
-        except subprocess.TimeoutExpired:
-            for q in procs:
+            logs.append(out)
+    finally:
+        # whatever interrupted us (timeout, KeyboardInterrupt, a worker
+        # assert) — never leave cluster processes behind
+        for q in procs:
+            if q.poll() is None:
                 q.kill()
-            raise
-        logs.append(out)
     for i, p in enumerate(procs):
         assert p.returncode == 0, \
             f"worker {i} failed (rc={p.returncode}):\n{logs[i][-3000:]}"
