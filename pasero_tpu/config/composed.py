@@ -361,6 +361,12 @@ class DecodingAPIConfig(DistributedConfig, DecodingConfig):
         aliases=["device"], help="device list for layer placement (reference pipeline "
                                  "parallelism; on TPU the mesh handles placement)")
     benchmark: bool = argument(False, help="profile per-component time")
+    quantize: Optional[str] = argument(
+        choices=["int8"],
+        help="weight-only quantization at load time: 'int8' stores the big "
+             "matmul weights as int8 with per-channel scales, roughly "
+             "halving the HBM weight read that bounds large-model decoding "
+             "(beyond-reference capability; single-device decode only)")
     flexible: bool = argument(
         False, help="tolerate missing/unexpected checkpoint parameters")
     model_args: Optional[Union[dict, str]] = argument(

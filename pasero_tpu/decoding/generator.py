@@ -180,6 +180,22 @@ class TextGenerator:
                 for p in self.cfg.ensemble_ckpt]
         else:
             self.ensemble_params = []
+        if getattr(self.cfg, "quantize", None) == "int8":
+            # weight-only int8 (ops/quantize.py): the LAST load step, after
+            # LoRA merging / placement, so every decode program receives
+            # QTensor kernels through the ordinary params plumbing
+            assert self.mesh is None, (
+                "--quantize int8 supports single-device decode (the Pallas "
+                "int8 matmul is not partitioned over a mesh); drop "
+                "--tp-size/--dp-size or the quantize flag")
+            from ..ops.quantize import quantize_params, quantized_bytes
+            self.params, n_q = quantize_params(self.params)
+            self.ensemble_params = [quantize_params(p)[0]
+                                    for p in self.ensemble_params]
+            qb, fb = quantized_bytes(self.params)
+            logger.info(
+                f"quantized {n_q} weights to int8: {qb / 2**20:.0f} MiB int8 "
+                f"+ {fb / 2**20:.0f} MiB float in HBM")
         logger.info(f"loaded model in {time.time() - t0:.1f}s "
                     f"({len(missing)} missing, {len(unexpected)} unexpected)")
 
@@ -547,7 +563,7 @@ class TextGenerator:
                 ("score", shapes, return_layers, return_weights,
                  collect_gate_stats),
                 lambda: lambda p, targets, **kw: model.apply(
-                    {"params": p}, targets=targets,
+                    {"params": p}, targets=targets, return_logits=True,
                     return_layers=return_layers, return_weights=return_weights,
                     mutable=["gate_stats"] if collect_gate_stats else [],
                     **kw))

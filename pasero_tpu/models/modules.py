@@ -55,8 +55,14 @@ class Linear(nn.Module):
             "kernel",
             nn.with_logical_partitioning(self.kernel_init, self.kernel_axes),
             (in_features, self.features), jnp.float32)
-        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
-                    preferred_element_type=self.dtype)
+        from ..ops.quantize import QTensor, int8_matmul
+        if isinstance(kernel, QTensor):
+            # weight-only int8 inference (--quantize int8): the Pallas
+            # kernel streams int8 blocks from HBM and converts in VMEM
+            y = int8_matmul(x.astype(self.dtype), kernel, out_dtype=self.dtype)
+        else:
+            y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
+                        preferred_element_type=self.dtype)
         if self.use_bias:
             bias = self.param(
                 "bias",

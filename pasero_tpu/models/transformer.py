@@ -722,6 +722,7 @@ class Transformer(nn.Module):
                  targets=None, prompt_mask=None, loss_weights=None,
                  deterministic=True,
                  return_layers=False, return_weights=False,
+                 return_logits=False,
                  encoder_adapter_ids=None, decoder_adapter_ids=None):
         cfg = self.cfg
         encoder_out = encoder_mask = None
@@ -739,9 +740,13 @@ class Transformer(nn.Module):
 
         # fused-CE path: the decoder reduces chunk logits to loss sums
         # directly (no (B, T, V) fp32 tensor; chunked_cross_entropy)
+        # return_logits forces the materialized head: teacher-forced
+        # *scoring* (TextGenerator.score / --teacher-forcing / --moe-stats)
+        # needs per-token log-probs, which the fused-CE reduction discards
         fused = (targets is not None and self.supports_fused_ce
                  and getattr(cfg, "fused_ce", True)
-                 and not return_layers and not return_weights)
+                 and not return_layers and not return_weights
+                 and not return_logits)
         if fused:
             loss_sum, nll_sum, _ = self.decoder(
                 decoder_input, encoder_out=encoder_out,

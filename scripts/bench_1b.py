@@ -99,7 +99,8 @@ def bench_train(steps: int, batch_tokens: int, policy: str = "dots",
                       "ckpt_interval": ckpt_interval, "batch": [B, T]}))
 
 
-def bench_decode(max_new: int, batch: int, prompt_style: str = "copy"):
+def bench_decode(max_new: int, batch: int, prompt_style: str = "copy",
+                 quantize: bool = False):
     import jax
     import jax.numpy as jnp
     from pasero_tpu.decoding.search import (sample_decode,
@@ -126,6 +127,12 @@ def bench_decode(max_new: int, batch: int, prompt_style: str = "copy"):
     params = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
         params)
+    if quantize:
+        from pasero_tpu.ops.quantize import quantize_params, quantized_bytes
+        params, n_q = quantize_params(params)
+        qb, fb = quantized_bytes(params)
+        print(f"quantized {n_q} kernels to int8: {qb/2**20:.0f} MiB int8 + "
+              f"{fb/2**20:.0f} MiB float")
 
     common = dict(max_new=N, eos_idx=cfg.eos_idx, pad_idx=cfg.padding_idx)
     # params MUST be a jit argument: closing over them bakes 2.2 GB of
@@ -154,6 +161,7 @@ def bench_decode(max_new: int, batch: int, prompt_style: str = "copy"):
                           np.asarray(out_s["tokens"]))
     print(json.dumps({
         "metric": "decode_1b", "prompt_style": prompt_style,
+        "quantize": bool(quantize),
         "greedy_tok_s": round(B * N / t_g, 1),
         "speculative_tok_s": round(B * N / t_s, 1),
         "speculative_speedup": round(t_g / t_s, 2),
@@ -182,6 +190,10 @@ def main():
                         choices=["copy", "random"],
                         help="--decode prompts: 'copy' = speculative's home "
                              "regime, 'random' = adversarial worst case")
+    parser.add_argument("--quantize", action="store_true",
+                        help="--decode with weight-only int8 kernels "
+                             "(ops/quantize.py): halves the HBM weight read "
+                             "that bounds this regime")
     args = parser.parse_args()
 
     from pasero_tpu.utils.platform import apply_platform_env
@@ -191,7 +203,8 @@ def main():
                     attention=args.attention, seq_len=args.seq_len,
                     ckpt_interval=args.ckpt_interval)
     if args.decode:
-        bench_decode(args.max_new, args.batch, prompt_style=args.prompt_style)
+        bench_decode(args.max_new, args.batch, prompt_style=args.prompt_style,
+                     quantize=args.quantize)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,212 @@
+"""Weight-only int8 inference (--quantize int8, ops/quantize.py).
+
+The reference has no quantization story; this is a beyond-reference
+capability for the weight-bound decode regime (PERFORMANCE.md 1B
+section). Tests pin: kernel-vs-dequantize exactness, tree surgery,
+Linear integration, and end-to-end decode equivalence on a trained tiny
+model (peaked distributions -> int8 rounding must not flip tokens).
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import yaml
+
+from pasero_tpu.ops.quantize import (QTensor, dequantize, int8_matmul,
+                                     quantize, quantize_params,
+                                     quantized_bytes)
+
+
+def test_quantize_roundtrip_error_bounded():
+    rng = np.random.default_rng(0)
+    # per-column scales: make column magnitudes wildly different to prove
+    # the per-channel part matters
+    w = rng.normal(size=(256, 128)).astype(np.float32)
+    w *= np.logspace(-3, 3, 128)[None, :].astype(np.float32)
+    t = quantize(jnp.asarray(w))
+    assert t.q.dtype == jnp.int8 and t.scale.shape == (1, 128)
+    deq = np.asarray(dequantize(t))
+    col_err = np.abs(deq - w).max(axis=0) / np.abs(w).max(axis=0)
+    assert col_err.max() < 0.005, "per-channel error must stay ~1/254"
+
+
+@pytest.mark.parametrize("M,K,N", [
+    (8, 512, 1024),     # decode-like: tiny M, kernel path
+    (300, 512, 512),    # row tail (300 % 16 != 0)
+    (4, 512, 5632),     # llama-style ffn dim (512-indivisible, 256 works)
+    (3, 100, 52),       # no block divisor -> XLA fallback
+])
+def test_int8_matmul_matches_dequantized_dot(M, K, N):
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+    t = quantize(jnp.asarray(rng.normal(size=(K, N)).astype(np.float32)))
+    ref = x @ dequantize(t)
+    out = int8_matmul(x, t)
+    assert out.shape == (M, N)
+    # K-blocked f32 accumulation reassociates vs the single XLA dot
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_int8_matmul_leading_dims_and_bf16():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 5, 256)), jnp.bfloat16)
+    t = quantize(jnp.asarray(rng.normal(size=(256, 512)).astype(np.float32)))
+    out = int8_matmul(x, t)
+    assert out.shape == (2, 5, 512) and out.dtype == jnp.bfloat16
+    ref = (x.astype(jnp.float32).reshape(10, 256) @ dequantize(t)).reshape(
+        2, 5, 512)
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
+                               rtol=0.05, atol=0.05)
+
+
+def test_quantize_params_tree_surgery():
+    params = {
+        "layer": {"kernel": jnp.ones((512, 256)), "bias": jnp.zeros((256,))},
+        "tiny": {"kernel": jnp.ones((4, 4))},          # below min_size
+        "norm": {"scale": jnp.ones((512,))},           # wrong name
+        "moe": {"kernel": jnp.ones((2, 512, 256))},    # 3D: skipped
+    }
+    qp, n = quantize_params(params, min_size=1024)
+    assert n == 1
+    assert isinstance(qp["layer"]["kernel"], QTensor)
+    assert isinstance(qp["tiny"]["kernel"], jax.Array)
+    assert isinstance(qp["moe"]["kernel"], jax.Array)
+    # QTensor is pytree-transparent: device_put / tree_map must descend
+    moved = jax.device_put(qp)
+    assert isinstance(moved["layer"]["kernel"], QTensor)
+    qb, fb = quantized_bytes(qp)
+    assert qb == 512 * 256 + 256 * 4
+    # a blanket astype map over leaves must not break (astype -> self)
+    jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        qp, is_leaf=lambda x: isinstance(x, QTensor))
+
+
+def test_linear_uses_qtensor():
+    from flax import linen as nn
+    from pasero_tpu.models.modules import Linear
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(8, 256)).astype(np.float32))
+    m = Linear(features=512, dtype=jnp.float32, kernel_axes=("embed", "mlp"))
+    p = nn.meta.unbox(m.init(jax.random.PRNGKey(0), x))
+    base = m.apply(p, x)
+    p["params"]["kernel"] = quantize(p["params"]["kernel"])
+    qout = m.apply(p, x)
+    ref = x @ dequantize(p["params"]["kernel"]) + p["params"]["bias"]
+    np.testing.assert_allclose(np.asarray(qout), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    rel = np.abs(np.asarray(qout - base)).max() / np.abs(base).max()
+    assert rel < 0.02
+
+
+# -- end-to-end: decode with --quantize int8 --------------------------------
+
+TINY = {
+    "encoder_layers": 2, "decoder_layers": 2, "embed_dim": 32,
+    "encoder_ffn_dim": 64, "decoder_ffn_dim": 64,
+    "encoder_attention_heads": 4, "decoder_attention_heads": 4,
+    "dropout": 0.0,
+}
+INPUTS = ["w1 w2 w3", "w4 w5", "w6 w7 w8 w9", "w2 w2 w1"]
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    from pasero_tpu import checkpoints
+    from pasero_tpu.config import DecodingAPIConfig
+    from pasero_tpu.decoding.generator import TextGenerator
+    import optax
+    from flax import linen as nn
+
+    d = tmp_path_factory.mktemp("quantize_model")
+    with open(d / "dict.txt", "w") as f:
+        for i in range(28):
+            print(f"w{i} 0", file=f)
+    with open(d / "config.json", "w") as f:
+        json.dump({"arch": "transformer_small", **TINY}, f)
+    with open(d / "inference.yaml", "w") as f:
+        yaml.safe_dump({"task": "translation", "tokenizer": "none",
+                        "source_lang": "de", "target_lang": "en"}, f)
+    np.savez(d / "model_last.npz", placeholder=np.zeros(1))
+    cfg = DecodingAPIConfig(model=str(d), strict=True, dtype="float32")
+    gen = TextGenerator(cfg, start=False)
+    model = gen._make_model()
+    example = {"decoder_input": jnp.zeros((1, 4), jnp.int32),
+               "src_tokens": jnp.zeros((1, 4), jnp.int32)}
+    params = nn.meta.unbox(
+        model.init(jax.random.PRNGKey(0), **example))["params"]
+    eos = gen.task.eos_idx
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+    B, S = 16, 6
+
+    @jax.jit
+    def step(params, opt, rng):
+        x = jax.random.randint(rng, (B, S), 4, 32)
+        dec_in = jnp.concatenate([jnp.full((B, 1), eos, jnp.int32), x], 1)
+        tgt = jnp.concatenate([x, jnp.full((B, 1), eos, jnp.int32)], 1)
+
+        def loss_fn(p):
+            logits = model.apply({"params": p}, src_tokens=x,
+                                 decoder_input=dec_in)["logits"]
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, tgt).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt = tx.update(grads, opt)
+        return optax.apply_updates(params, updates), opt, loss
+
+    rng = jax.random.PRNGKey(1)
+    for _ in range(250):
+        rng, k = jax.random.split(rng)
+        params, opt, loss = step(params, opt, k)
+    assert float(loss) < 0.5
+    checkpoints.save_checkpoint(str(d), 10, params)
+    return str(d)
+
+
+def _decode(model_dir, **kw):
+    from pasero_tpu.decoding.generator import TextGenerator
+    gen = TextGenerator.build(model_dir, dtype="float32", seed=5, **kw)
+    hyps = gen.decode(INPUTS, return_scores=True, max_output_len=12)
+    return gen, [(h[0]["tokens"], h[0]["score"]) for h in hyps]
+
+
+@pytest.mark.parametrize("beam", [1, 3])
+def test_quantized_decode_matches_fp32(model_dir, beam, monkeypatch):
+    monkeypatch.setenv("PASERO_QUANTIZE_MIN_SIZE", "0")
+    _, base = _decode(model_dir, beam_size=beam)
+    gen, got = _decode(model_dir, beam_size=beam, quantize="int8")
+    # the flag actually quantized something
+    leaves = jax.tree_util.tree_leaves(
+        gen.params, is_leaf=lambda x: isinstance(x, QTensor))
+    n_q = sum(isinstance(x, QTensor) for x in leaves)
+    assert n_q >= 8, f"expected the projection kernels quantized, got {n_q}"
+    for row, (exp, act) in enumerate(zip(base, got)):
+        assert act[0] == exp[0], \
+            f"beam={beam} row {row}: int8 flipped tokens ({act} vs {exp})"
+        assert abs(act[1] - exp[1]) < 0.05
+
+
+def test_quantized_scoring_close(model_dir, monkeypatch):
+    monkeypatch.setenv("PASERO_QUANTIZE_MIN_SIZE", "0")
+    from pasero_tpu.decoding.generator import TextGenerator
+    base = TextGenerator.build(model_dir, dtype="float32")
+    quant = TextGenerator.build(model_dir, dtype="float32", quantize="int8")
+    out_b = base.score(INPUTS[:2], ["w1 w2", "w4 w5"])
+    out_q = quant.score(INPUTS[:2], ["w1 w2", "w4 w5"])
+    for hb, hq in zip(out_b, out_q):
+        assert abs(hb["score"] - hq["score"]) < 0.05
+
+
+def test_quantize_rejects_mesh(model_dir, monkeypatch):
+    monkeypatch.setenv("PASERO_QUANTIZE_MIN_SIZE", "0")
+    from pasero_tpu.decoding.generator import TextGenerator
+    with pytest.raises(AssertionError, match="single-device"):
+        TextGenerator.build(model_dir, dtype="float32", quantize="int8",
+                            tp_size=2)
