@@ -103,10 +103,20 @@ class Embedding(nn.Module):
             (self.num_embeddings, self.features), jnp.float32)
 
     def __call__(self, ids):
+        from ..ops.quantize import QTensor, embedding_lookup
+        if isinstance(self.embedding, QTensor):
+            return embedding_lookup(self.embedding, ids, self.dtype)
         return jnp.take(self.embedding, ids, axis=0).astype(self.dtype)
 
     def attend(self, x):
         """Output projection with tied weights (transposed embedding)."""
+        from ..ops.quantize import QTensor, int8_matmul_t
+        if isinstance(self.embedding, QTensor):
+            # row-quantized table: the int8 rows are read in their stored
+            # orientation (no transposed copy); per-row scales multiply the
+            # logit columns
+            return int8_matmul_t(x.astype(self.dtype), self.embedding,
+                                 out_dtype=jnp.float32)
         return jnp.dot(x.astype(self.dtype),
                        self.embedding.T.astype(self.dtype),
                        preferred_element_type=jnp.float32)

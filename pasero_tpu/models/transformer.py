@@ -524,8 +524,13 @@ class TransformerDecoder(nn.Module):
 
         if head == "argmax":
             from ..ops.fused_ce import fused_head_argmax
+            from ..ops.quantize import QTensor
             if cfg.tied_output_projection:
-                kernel = embed.embedding.T
+                kernel = embed.embedding
+                if not isinstance(kernel, QTensor):
+                    kernel = kernel.T.astype(self.dtype)
+                # QTensor: row-quantized (V, E) table goes in as-is — the
+                # int8 argmax kernel reads it in its stored orientation
             else:
                 lin = Linear(self.vocab_size, use_bias=False,
                              dtype=self.dtype, kernel_axes=("embed", "vocab"),
@@ -533,9 +538,10 @@ class TransformerDecoder(nn.Module):
                 lin(x[:, :1])  # instantiate; the unused dot is DCE'd
                 boxed = lin.variables["params"]["kernel"]
                 kernel = getattr(boxed, "value", boxed)
+                if not isinstance(kernel, QTensor):
+                    kernel = kernel.astype(self.dtype)
             Bx, Tx, Ex = x.shape
-            tok, lp = fused_head_argmax(x.reshape(Bx * Tx, Ex),
-                                        kernel.astype(self.dtype))
+            tok, lp = fused_head_argmax(x.reshape(Bx * Tx, Ex), kernel)
             return tok.reshape(Bx, Tx), lp.reshape(Bx, Tx)
 
         if cfg.tied_output_projection:

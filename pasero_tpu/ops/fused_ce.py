@@ -353,17 +353,108 @@ def _argmax_kernel(x_ref, w_ref, tok_ref, lp_ref, m_scr, l_scr, i_scr,
         lp_ref[0] = -jnp.log(l_scr[...])[:, 0]
 
 
+def _online_argmax(s, col, V, m_scr, l_scr, i_scr):
+    """One vocab-block step of the online max/argmax/sumexp recurrence
+    (shared by the float and int8 argmax kernels)."""
+    sv = jnp.where(col < V, s, NEG_INF)
+    m_prev = m_scr[...]
+    bm = jnp.max(sv, axis=-1, keepdims=True)
+    bcol = jnp.min(jnp.where(sv == bm, col, jnp.iinfo(jnp.int32).max),
+                   axis=-1, keepdims=True)
+    i_scr[...] = jnp.where(bm > m_prev, bcol, i_scr[...])
+    m_new = jnp.maximum(m_prev, bm)
+    l_scr[...] = (l_scr[...] * jnp.exp(m_prev - m_new)
+                  + jnp.sum(jnp.exp(sv - m_new), axis=-1, keepdims=True))
+    m_scr[...] = m_new
+
+
+def _argmax_kernel_q8(x_ref, w_ref, s_ref, tok_ref, lp_ref, m_scr, l_scr,
+                      i_scr, *, BV, V, nvb, row_quant):
+    """int8 greedy vocab head (--quantize int8): the weight block is read
+    from HBM as int8 and dequantized in VMEM; ``row_quant`` selects the
+    (V, E) row-major table orientation (tied embeddings) vs (E, V)
+    column-quantized projection kernels."""
+    vb = pl.program_id(1)
+
+    @pl.when(vb == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        i_scr[...] = jnp.zeros_like(i_scr)
+
+    w = w_ref[...].astype(x_ref.dtype)
+    dims = ((1,), (1,)) if row_quant else ((1,), (0,))
+    s = jax.lax.dot_general(x_ref[...], w, (dims, ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s * s_ref[...]                                   # per-logit scale
+    col = vb * BV + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    _online_argmax(s, col, V, m_scr, l_scr, i_scr)
+
+    @pl.when(vb == nvb - 1)
+    def _finalize():
+        tok_ref[0] = i_scr[...][:, 0]
+        lp_ref[0] = -jnp.log(l_scr[...])[:, 0]
+
+
+def _fused_head_argmax_q8(x, t):
+    from .quantize import QTensor  # noqa: F401 (type documented)
+    row_quant = t.scale.shape[1] == 1          # (V, 1) table vs (1, V) kernel
+    if row_quant:
+        V, E = t.q.shape
+    else:
+        E, V = t.q.shape
+    N = x.shape[0]
+    BN, BV = _pick_blocks(N, E, V)
+    Np, Vp = _ceil_to(N, BN), _ceil_to(V, BV)
+    nvb = Vp // BV
+    xp = _pad_rows(x, Np)
+    pad_v = Vp - V
+    qp = jnp.pad(t.q, ((0, pad_v), (0, 0)) if row_quant
+                 else ((0, 0), (0, pad_v)))
+    sp = jnp.pad(t.scale.reshape(1, -1), ((0, 0), (0, pad_v)))
+
+    w_spec = (pl.BlockSpec((BV, E), lambda nb, vb: (vb, 0)) if row_quant
+              else pl.BlockSpec((E, BV), lambda nb, vb: (0, vb)))
+    tok, lp = pl.pallas_call(
+        functools.partial(_argmax_kernel_q8, BV=BV, V=V, nvb=nvb,
+                          row_quant=row_quant),
+        grid=(Np // BN, nvb),
+        interpret=_interpret(),
+        in_specs=[
+            pl.BlockSpec((BN, E), lambda nb, vb: (nb, 0)),
+            w_spec,
+            pl.BlockSpec((1, BV), lambda nb, vb: (0, vb)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, BN), lambda nb, vb: (0, nb)),
+            pl.BlockSpec((1, BN), lambda nb, vb: (0, nb)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, Np), jnp.int32),
+            jax.ShapeDtypeStruct((1, Np), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((BN, 1), jnp.float32),
+                        pltpu.VMEM((BN, 1), jnp.float32),
+                        pltpu.VMEM((BN, 1), jnp.int32)],
+    )(xp, qp, sp)
+    return tok[0, :N], lp[0, :N]
+
+
 def fused_head_argmax(x, kernel):
     """Greedy decode head: ``argmax(x @ kernel)`` + its log-probability,
     with the (N, V) logits never materialized in HBM.
 
     The per-step vocab head is the last fp32 (B, V) round-trip of
     weight-bound generation (reference computes full logits + softmax every
-    step, pasero/decoding.py:1005-1222).  x: (N, E); kernel: (E, V).
-    Returns (tokens (N,) int32, logprobs (N,) f32) — bit-identical to
-    ``argmax`` / ``log_softmax`` on the materialized logits (first
-    occurrence wins ties).
+    step, pasero/decoding.py:1005-1222).  x: (N, E); kernel: (E, V), or a
+    QTensor (int8 weight-only decode, ops/quantize.py) in either
+    orientation.  Returns (tokens (N,) int32, logprobs (N,) f32) —
+    bit-identical to ``argmax`` / ``log_softmax`` on the (dequantized)
+    materialized logits (first occurrence wins ties).
     """
+    from .quantize import QTensor
+    if isinstance(kernel, QTensor):
+        return _fused_head_argmax_q8(x, kernel)
     N, E = x.shape
     V = kernel.shape[1]
     BN, BV = _pick_blocks(N, E, V)

@@ -130,11 +130,15 @@ def quantize_params(params, min_size: int = None,
 
     def visit(path, leaf):
         name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-        if (name in names and getattr(leaf, "ndim", 0) == 2
-                and leaf.size >= min_size
-                and jnp.issubdtype(leaf.dtype, jnp.floating)):
+        if (getattr(leaf, "ndim", 0) != 2 or leaf.size < min_size
+                or not jnp.issubdtype(leaf.dtype, jnp.floating)):
+            return leaf
+        if name in names:
             count[0] += 1
-            return quantize(leaf)
+            return quantize(leaf, axis=0)        # (in, out): per-column
+        if name == "embedding":
+            count[0] += 1
+            return quantize(leaf, axis=1)        # (vocab, embed): per-row
         return leaf
 
     new = jax.tree_util.tree_map_with_path(visit, params)
@@ -226,3 +230,75 @@ def int8_matmul(x, t: QTensor, out_dtype=None):
     x2 = x.reshape((-1, x.shape[-1]))
     out = _int8_matmul_2d(x2, t.q, t.scale, jnp.dtype(out_dtype))
     return out.reshape(lead + (t.q.shape[1],))
+
+
+def _kernel_t(x_ref, q_ref, s_ref, o_ref, acc, *, nkb):
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        acc[...] = jnp.zeros_like(acc)
+
+    w = q_ref[...].astype(x_ref.dtype)          # (BN, BK) row-major block
+    acc[...] += jax.lax.dot_general(
+        x_ref[...], w, (((1,), (1,)), ((), ())),   # x @ w.T, in-VMEM
+        preferred_element_type=jnp.float32)
+
+    @pl.when(kb == nkb - 1)
+    def _done():
+        o_ref[...] = (acc[...] * s_ref[...]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def _int8_matmul_t_2d(x, q, scale_row, out_dtype):
+    """x (M, K) @ q.T where q is (N, K) int8 — the weight is read in its
+    stored row-major orientation (no transposed int8 copy in HBM)."""
+    M, K = x.shape
+    N = q.shape[0]
+    BK = _pick_block(K, (512, 256, 128))
+    BN = _pick_block(N, (512, 256, 128))
+    if not BK or not BN:
+        w = (q.astype(jnp.float32) * scale_row.reshape(-1, 1)).astype(x.dtype)
+        return jnp.dot(x, w.T, preferred_element_type=out_dtype).astype(
+            out_dtype)
+    Mp = _ceil_to(max(M, 16), 16)
+    BM = min(Mp, 256)
+    Mp = _ceil_to(Mp, BM)
+    xp = jnp.pad(x, ((0, Mp - M), (0, 0)))
+    nkb = K // BK
+    out = pl.pallas_call(
+        functools.partial(_kernel_t, nkb=nkb),
+        grid=(Mp // BM, N // BN, nkb),
+        interpret=_interpret(),
+        in_specs=[
+            pl.BlockSpec((BM, BK), lambda mb, nb, kb: (mb, kb)),
+            pl.BlockSpec((BN, BK), lambda mb, nb, kb: (nb, kb)),
+            pl.BlockSpec((1, BN), lambda mb, nb, kb: (0, nb)),
+        ],
+        out_specs=pl.BlockSpec((BM, BN), lambda mb, nb, kb: (mb, nb)),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((BM, BN), jnp.float32)],
+    )(xp, q, scale_row.reshape(1, -1))
+    return out[:M]
+
+
+def int8_matmul_t(x, t: QTensor, out_dtype=None):
+    """``x @ dequantize(t).T`` for a row-quantized table (vocab head).
+
+    x: (..., E); t.q: (V, E) int8 with per-row scale (V, 1); returns
+    (..., V). The per-row scale multiplies the output logit columns.
+    """
+    out_dtype = out_dtype or x.dtype
+    lead = x.shape[:-1]
+    x2 = x.reshape((-1, x.shape[-1]))
+    out = _int8_matmul_t_2d(x2, t.q, t.scale.reshape(-1),
+                            jnp.dtype(out_dtype))
+    return out.reshape(lead + (t.q.shape[0],))
+
+
+def embedding_lookup(t: QTensor, ids, dtype):
+    """Row lookup from a row-quantized (V, E) table: dequantize only the
+    gathered rows."""
+    rows = jnp.take(t.q, ids, axis=0).astype(dtype)
+    return rows * jnp.take(t.scale.reshape(-1), ids, axis=0)[..., None].astype(
+        dtype)

@@ -104,6 +104,53 @@ def test_linear_uses_qtensor():
     assert rel < 0.02
 
 
+def test_int8_matmul_t_matches_dequantized():
+    from pasero_tpu.ops.quantize import int8_matmul_t
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(8, 256)).astype(np.float32))
+    table = jnp.asarray(rng.normal(size=(512, 256)).astype(np.float32))
+    t = quantize(table, axis=1)                     # per-row (vocab) scales
+    assert t.scale.shape == (512, 1)
+    ref = x @ dequantize(t).T
+    out = int8_matmul_t(x, t)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_embedding_lookup_dequantizes_rows():
+    from pasero_tpu.ops.quantize import embedding_lookup
+    rng = np.random.default_rng(5)
+    table = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32))
+    t = quantize(table, axis=1)
+    ids = jnp.asarray([[0, 5, 63], [7, 7, 1]], jnp.int32)
+    out = embedding_lookup(t, ids, jnp.float32)
+    ref = jnp.take(dequantize(t), ids, axis=0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("orientation", ["row", "col"])
+def test_fused_head_argmax_q8(orientation):
+    from pasero_tpu.ops.fused_ce import fused_head_argmax
+    rng = np.random.default_rng(6)
+    E, V, N = 128, 1000, 24
+    x = jnp.asarray(rng.normal(size=(N, E)).astype(np.float32))
+    if orientation == "row":
+        t = quantize(jnp.asarray(
+            rng.normal(size=(V, E)).astype(np.float32)), axis=1)
+        logits = np.asarray(x @ dequantize(t).T)
+    else:
+        t = quantize(jnp.asarray(
+            rng.normal(size=(E, V)).astype(np.float32)), axis=0)
+        logits = np.asarray(x @ dequantize(t))
+    tok, lp = fused_head_argmax(x, t)
+    np.testing.assert_array_equal(np.asarray(tok), logits.argmax(-1))
+    ref_lp = (logits - np.log(np.exp(
+        logits - logits.max(-1, keepdims=True)).sum(-1, keepdims=True))
+        - logits.max(-1, keepdims=True))[np.arange(N), logits.argmax(-1)]
+    np.testing.assert_allclose(np.asarray(lp), ref_lp, rtol=2e-4, atol=2e-4)
+
+
 # -- end-to-end: decode with --quantize int8 --------------------------------
 
 TINY = {
