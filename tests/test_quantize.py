@@ -240,6 +240,19 @@ def test_quantized_decode_matches_fp32(model_dir, beam, monkeypatch):
         assert abs(act[1] - exp[1]) < 0.05
 
 
+def test_quantized_greedy_fused_head(model_dir, monkeypatch):
+    """PASERO_FUSED_HEAD=1 forces the Pallas argmax head (interpret mode on
+    CPU); with --quantize int8 and a tied embedding this exercises the int8
+    row-quantized head through the real decode pipeline."""
+    monkeypatch.setenv("PASERO_QUANTIZE_MIN_SIZE", "0")
+    _, base = _decode(model_dir, beam_size=1)
+    monkeypatch.setenv("PASERO_FUSED_HEAD", "1")
+    _, got = _decode(model_dir, beam_size=1, quantize="int8")
+    for row, (exp, act) in enumerate(zip(base, got)):
+        assert act[0] == exp[0], \
+            f"row {row}: fused int8 head flipped tokens ({act} vs {exp})"
+
+
 def test_quantized_scoring_close(model_dir, monkeypatch):
     monkeypatch.setenv("PASERO_QUANTIZE_MIN_SIZE", "0")
     from pasero_tpu.decoding.generator import TextGenerator
