@@ -415,6 +415,12 @@ def run_training(cfg):
         pending["signal"] = None
         trainer.save(blocking=True)
         raise
+    finally:
+        # stop the data pipeline: an abandoned tokenizer pool whose feed
+        # generator is still blocked deadlocks multiprocessing's atexit
+        # pool join (the process would hang after 'done')
+        if hasattr(train_set, "close"):
+            train_set.close()
 
     if cfg.max_steps and trainer.step > trainer.loaded_step:
         trainer.save(blocking=True)

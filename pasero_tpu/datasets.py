@@ -314,14 +314,23 @@ class DynamicTrainingDataset(TrainingDatasetBase):
                 workers, initializer=_worker_init,
                 initargs=(pickle.dumps(self.task), self.cfg.truncate))
             logger.info(f"started {workers} tokenizer worker processes")
-        inflight = threading.BoundedSemaphore(
-            workers * self.MAX_INFLIGHT_PER_WORKER)
+        # floor: the budget must exceed imap's chunk size or the first
+        # chunk can never fill and the pipeline deadlocks at startup
+        inflight = self._inflight = threading.Semaphore(
+            max(workers * self.MAX_INFLIGHT_PER_WORKER, 2 * 16))
 
         def feed():
+            # runs on the pool's task-handler thread. The acquire must stay
+            # interruptible: when training stops mid-stream the consumer
+            # never releases again, and an uninterruptible blocked acquire
+            # here deadlocks multiprocessing's atexit _terminate_pool join
+            # (the process then hangs at interpreter exit)
             for raw in self._raw_stream():
+                while not self._stop.is_set():
+                    if inflight.acquire(timeout=1.0):
+                        break
                 if self._stop.is_set():
                     return
-                inflight.acquire()
                 yield raw
 
         for sample in self._pool.imap(_worker_preprocess, feed(),
@@ -386,6 +395,11 @@ class DynamicTrainingDataset(TrainingDatasetBase):
         self._stop.set()
         if self._pool is not None:
             self._pool.terminate()
+            # join proves the imap task-handler thread unblocked (its feed
+            # generator polls _stop with a 1s-timeout acquire); without
+            # this, an abandoned saturated pool deadlocks multiprocessing's
+            # atexit finalizer and the process hangs at interpreter exit
+            self._pool.join()
             self._pool = None
         try:
             while True:

@@ -128,8 +128,18 @@ def quantize_params(params, min_size: int = None,
         min_size = int(os.environ.get("PASERO_QUANTIZE_MIN_SIZE", 1 << 16))
     count = [0]
 
+    def _name(entry):
+        for attr in ("key", "name"):
+            if hasattr(entry, attr):
+                return str(getattr(entry, attr))
+        return str(entry)
+
     def visit(path, leaf):
-        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        # flax metadata boxes (LogicallyPartitioned) flatten through a
+        # trailing '.value' path entry; skip such wrappers to find the
+        # parameter's real name
+        name = next((n for n in map(_name, reversed(path))
+                     if n not in ("value",)), "")
         if (getattr(leaf, "ndim", 0) != 2 or leaf.size < min_size
                 or not jnp.issubdtype(leaf.dtype, jnp.floating)):
             return leaf

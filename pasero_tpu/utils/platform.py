@@ -32,8 +32,12 @@ def enable_compilation_cache() -> None:
     choice = os.environ.get("PASERO_COMPILE_CACHE", "")
     if choice == "0":
         return
-    platforms = (os.environ.get("JAX_PLATFORMS")
-                 or getattr(jax.config, "jax_platforms", None) or "")
+    # the RESOLVED config wins over the env var: a test harness may force
+    # cpu via jax.config while the image's JAX_PLATFORMS still says the
+    # TPU plugin — trusting the env there cached CPU executables whose
+    # AOT reloads spam machine-feature-mismatch warnings (SIGILL risk)
+    platforms = (getattr(jax.config, "jax_platforms", None)
+                 or os.environ.get("JAX_PLATFORMS") or "")
     if not choice and ("cpu" in platforms or not platforms):
         # XLA:CPU persists AOT machine code whose feature baseline can
         # differ from the executing host (SIGILL risk + noisy loader

@@ -28,6 +28,11 @@ def main(argv=None):
     parser.add_argument("--vocab", type=int, default=32768)
     parser.add_argument("--arch", default="transformer")
     parser.add_argument("--repeats", type=int, default=3)
+    parser.add_argument("--quantize", action="store_true",
+                        help="weight-only int8 (ops/quantize.py): expected "
+                             "to LOSE at this compute-bound 100M scale — "
+                             "its win is the weight-bound >=1B regime "
+                             "(bench_1b.py --decode --quantize)")
     parser.add_argument("--only", choices=["greedy", "permute", "lineage"],
                         help="run a single variant (clean per-variant "
                              "profiles under scripts/profile_decode.py)")
@@ -61,6 +66,10 @@ def main(argv=None):
     prompt_mask = jnp.ones((B, P), bool)
     params = model.init(jax.random.PRNGKey(0), src_tokens=src,
                         decoder_input=prompt)["params"]
+    if args.quantize:
+        from pasero_tpu.ops.quantize import quantize_params
+        params, n_q = quantize_params(params, min_size=0)
+        print(f"quantized {n_q} weights to int8")
     encoder_out, encoder_mask = model.apply({"params": params}, src,
                                             method=model_cls.encode)
 

@@ -45,23 +45,34 @@ def launch_pair(mode, workdir, extra_args=(), timeout=900, env_extra=None):
     env = clean_env()
     env.update(env_extra or {})
     procs = []
+    log_files = []
+    # capture console output in FILES, not PIPEs: with pipes, draining the
+    # ranks sequentially deadlocks the whole cluster once any undrained
+    # rank (or a tokenizer worker child inheriting its stdout) fills the
+    # 64KB pipe buffer while the drained rank waits for it at a collective
     for i in range(2):
+        log_files.append(open(
+            os.path.join(workdir, f"console{i}_{mode}_{port}.log"), "w+"))
         procs.append(subprocess.Popen(
             [sys.executable, WORKER, mode, str(port), str(i), outs[i],
              *extra_args],
             cwd=workdir, env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+            stdout=log_files[i], stderr=subprocess.STDOUT, text=True))
     logs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=timeout)
-            logs.append(out)
+            p.wait(timeout=timeout)
     finally:
         # whatever interrupted us (timeout, KeyboardInterrupt, a worker
         # assert) — never leave cluster processes behind
         for q in procs:
             if q.poll() is None:
                 q.kill()
+        for f in log_files:
+            f.flush()
+            f.seek(0)
+            logs.append(f.read())
+            f.close()
     for i, p in enumerate(procs):
         assert p.returncode == 0, \
             f"worker {i} failed (rc={p.returncode}):\n{logs[i][-3000:]}"
@@ -267,12 +278,20 @@ def test_two_process_dynamic_pipeline(corpus_dir):
     assert losses, f"no loss lines:\n{logs[0][-3000:]}"
     import math
     assert all(math.isfinite(v) for v in losses.values())
-    # both hosts started their own pool and took their own disjoint shard
-    for rank, log in enumerate(logs):
+    # both hosts started their own pool and took their own disjoint shard.
+    # Non-master ranks console-log WARNING+ only (cli/train.py
+    # setup_logging), so INFO lines must be read from the per-rank log
+    # FILES (train.log on the master, train.log.1 on rank 1)
+    rank_logs = []
+    for name in ("train.log", "train.log.1"):
+        with open(os.path.join(corpus_dir, "model_dynpipe", name)) as f:
+            rank_logs.append(f.read())
+    for rank, log in enumerate(rank_logs):
         assert "started 2 tokenizer worker processes" in log, \
             f"rank {rank} ran without the worker pool:\n{log[-2000:]}"
-    assert "per-host data shard 0/2" in logs[0] + logs[1]
-    assert "per-host data shard 1/2" in logs[0] + logs[1]
+    both = rank_logs[0] + rank_logs[1]
+    assert "per-host data shard 0/2" in both
+    assert "per-host data shard 1/2" in both
     assert os.path.exists(
         os.path.join(corpus_dir, "model_dynpipe", "model_3.npz"))
 

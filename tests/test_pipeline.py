@@ -206,3 +206,30 @@ def test_pool_shutdown_on_one_cpu(task_and_corpus, monkeypatch):
         time.sleep(0.1)
     assert not any(p.is_alive() for p in procs), "worker processes leaked"
     assert ds._pool is None
+
+
+def test_pool_close_with_saturated_inflight(task_and_corpus, monkeypatch):
+    """Stop the pipeline while the feed generator is BLOCKED on the inflight
+    semaphore (the consumer stopped pulling, so it never releases): close()
+    must still terminate the pool and join its task-handler thread. Before
+    the round-5 fix this deadlocked multiprocessing's atexit pool finalizer,
+    hanging pasero-train at interpreter exit after 'done at step N'."""
+    monkeypatch.setenv("PASERO_FORCE_WORKERS", "2")
+    task, corpus, _ = task_and_corpus
+    ds = DynamicTrainingDataset(_dataset_cfg(num_workers=2), _dist_cfg(),
+                                task, [corpus])
+    # small inflight budget so the feed thread hits a blocked acquire soon
+    # after the consumer stops pulling — but comfortably above imap's
+    # chunksize (16), or the first chunk can never fill and the pipeline
+    # deadlocks before producing anything
+    monkeypatch.setattr(type(ds), "MAX_INFLIGHT_PER_WORKER", 32)
+    it = ds.endless_iterator()
+    next(it)                       # pool is live, pipeline saturating
+    time.sleep(2.0)                # let the feed thread block on acquire
+    t0 = time.perf_counter()
+    ds.close()
+    took = time.perf_counter() - t0
+    assert took < 10, f"close() hung {took:.1f}s with a saturated pipeline"
+    # the pool's handler threads must be gone (join returned), so a later
+    # interpreter exit cannot deadlock in the multiprocessing finalizer
+    assert ds._pool is None
