@@ -105,20 +105,21 @@ def _member_list(params):
 def _use_fused_head(model) -> bool:
     """Greedy paths may use the fused Pallas vocab head (argmax + logprob
     without fp32 (B, V) logits in HBM).  PASERO_FUSED_HEAD: 1 forces it
-    (CPU interpret-mode tests), 0 disables, auto (default) = TPU AND a
-    weight-bound head (embed dim >= 1024): A/B'd on a v5e chip
-    (2026-08-20), the kernel wins in the 1B llama regime but loses ~5%
-    at transformer-base (E=512, B=64), where the (B, V) fp32 round-trip
-    it saves is small and per-call kernel overhead dominates."""
+    (CPU interpret-mode tests), 0 disables; auto (default) keeps it OFF.
+    Evidence: the round-4 A/B (2026-08-20) read a win in the 1B llama
+    regime, but the round-5 re-run (2026-08-21, best-of-3 each) has the
+    materialized head ahead at BOTH scales and precisions — llama_1b
+    greedy 2017 vs 1852 tok/s bf16 and 2583 vs 2435 int8 (PERFORMANCE.md
+    1B section), transformer-base 67k vs 63k.  The per-step (B, V) fp32
+    round-trip the kernel saves (~1 MB at B=8) is simply too small next
+    to its per-call overhead; the kernel remains available for the
+    regime it was built for (huge-vocab, larger-batch heads) via the env
+    flag."""
     import os
     env = os.environ.get("PASERO_FUSED_HEAD", "auto")
     if not getattr(model, "supports_fused_head", False):
         return False
-    if env == "1":
-        return True
-    embed_dim = getattr(getattr(model, "cfg", None), "embed_dim", 0)
-    return (env == "auto" and jax.default_backend() == "tpu"
-            and embed_dim >= 1024)
+    return env == "1"
 
 
 def _members_apply(model, param_list, cache_list, tokens, *, average, **kwargs):

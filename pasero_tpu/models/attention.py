@@ -257,15 +257,23 @@ class MultiheadAttention(nn.Module):
         if kernel == "auto":
             # the Pallas flash kernel never materializes the (Sq, Sk) score
             # matrix: at long lengths the XLA path runs out of HBM (measured:
-            # S=8192 B=4 H=8 OOMs on a 16G chip, flash runs in 104 ms).
-            # The microbench crossover (bench_flash.py, fwd+bwd, causal,
-            # B=4 H=8 D=64) has flash winning from S=1024 up — but
-            # end-to-end llama_1b training at S=2048 (GQA 32/4 heads,
-            # remat) measured 6% SLOWER with flash than XLA, so the auto
-            # switch stays at the conservative 4096 where the win is
-            # universal and XLA's alternative is OOM-bound anyway
+            # S=8192 B=4 H=8 OOMs on a 16G chip, flash runs in 104 ms), so
+            # from 4096 up flash is unconditional (bias or not).
+            # In the bias-free GQA regime the round-4 group-packed kernels
+            # (one program per (batch, KV head), M = group*BQ MXU rows)
+            # win end-to-end from much shorter sequences: llama_1b training
+            # at S=2048 measured 7.9k tok/s with XLA attention vs 15.7k
+            # with flash (the round-3 6%-slower reading predates the packed
+            # layout), so auto now picks flash for grouped heads at S>=1024.
+            # Dense (group=1) keeps the conservative 4096 switch: its
+            # end-to-end win is unproven below that (transformer-base at
+            # S=128 measured faster on XLA).
             long_seq = q.shape[2] * k.shape[2] >= 4096 * 4096
-            kernel = "flash" if (long_seq and dropout_rng is None) else "xla"
+            grouped = (self.kv_heads or self.num_heads) < self.num_heads
+            gqa_win = (grouped and bias is None and t5 is None
+                       and q.shape[2] * k.shape[2] >= 1024 * 1024)
+            kernel = ("flash" if (long_seq or gqa_win) and dropout_rng is None
+                      else "xla")
         # flash has no attention-dropout path; fall back when dropout is live
         use_flash = (kernel == "flash" and not return_weights and not decode
                      and dropout_rng is None)

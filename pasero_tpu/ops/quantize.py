@@ -171,7 +171,12 @@ def quantized_bytes(params) -> tuple:
 # Pallas weight-streaming int8 matmul
 # ---------------------------------------------------------------------------
 
-def _pick_block(dim: int, candidates) -> int:
+def _pick_block(dim: int, candidates, env: str = "") -> int:
+    if env:
+        import os
+        forced = int(os.environ.get(env, 0) or 0)
+        if forced and dim % forced == 0:
+            return forced
     for c in candidates:
         if dim % c == 0:
             return c
@@ -203,8 +208,11 @@ def _ceil_to(x: int, m: int) -> int:
 def _int8_matmul_2d(x, q, scale, out_dtype):
     M, K = x.shape
     N = q.shape[1]
-    BK = _pick_block(K, (512, 256, 128))
-    BN = _pick_block(N, (512, 256, 128))
+    # defaults from the on-chip llama_1b sweep (PERFORMANCE.md): bigger
+    # K blocks win (fewer grid steps per output tile; BK=2048 + BN=1024
+    # measured 2975 vs 2576 tok/s greedy at the 512x512 starting point)
+    BK = _pick_block(K, (2048, 1024, 512, 256, 128), env="PASERO_INT8_BK")
+    BN = _pick_block(N, (1024, 512, 256, 128), env="PASERO_INT8_BN")
     if not BK or not BN:
         return jnp.dot(x, (q.astype(jnp.float32) * scale).astype(x.dtype),
                        preferred_element_type=out_dtype).astype(out_dtype)
@@ -265,8 +273,11 @@ def _int8_matmul_t_2d(x, q, scale_row, out_dtype):
     stored row-major orientation (no transposed int8 copy in HBM)."""
     M, K = x.shape
     N = q.shape[0]
-    BK = _pick_block(K, (512, 256, 128))
-    BN = _pick_block(N, (512, 256, 128))
+    # defaults from the on-chip llama_1b sweep (PERFORMANCE.md): bigger
+    # K blocks win (fewer grid steps per output tile; BK=2048 + BN=1024
+    # measured 2975 vs 2576 tok/s greedy at the 512x512 starting point)
+    BK = _pick_block(K, (2048, 1024, 512, 256, 128), env="PASERO_INT8_BK")
+    BN = _pick_block(N, (1024, 512, 256, 128), env="PASERO_INT8_BN")
     if not BK or not BN:
         w = (q.astype(jnp.float32) * scale_row.reshape(-1, 1)).astype(x.dtype)
         return jnp.dot(x, w.T, preferred_element_type=out_dtype).astype(

@@ -157,15 +157,20 @@ def bench_decode(max_new: int, batch: int, prompt_style: str = "copy",
 
     out_g, t_g = timed("greedy", greedy)
     out_s, t_s = timed("speculative (draft 8)", spec)
-    same = np.array_equal(np.asarray(out_g["tokens"]),
-                          np.asarray(out_s["tokens"]))
+    tg, ts = np.asarray(out_g["tokens"]), np.asarray(out_s["tokens"])
+    # speculative greedy is argmax-exact BY CONSTRUCTION against the same
+    # logits; on a random-init model near-ties abound and the chunked
+    # verify's different matmul shapes can flip them (bf16 reduction
+    # order), so report the flip fraction rather than a bare boolean
+    mismatch = float((tg != ts).mean())
     print(json.dumps({
         "metric": "decode_1b", "prompt_style": prompt_style,
         "quantize": bool(quantize),
         "greedy_tok_s": round(B * N / t_g, 1),
         "speculative_tok_s": round(B * N / t_s, 1),
         "speculative_speedup": round(t_g / t_s, 2),
-        "outputs_identical": bool(same)}))
+        "outputs_identical": bool(mismatch == 0.0),
+        "token_mismatch_frac": round(mismatch, 4)}))
 
 
 def main():
