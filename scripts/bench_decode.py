@@ -29,10 +29,12 @@ def main(argv=None):
     parser.add_argument("--arch", default="transformer")
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--quantize", action="store_true",
-                        help="weight-only int8 (ops/quantize.py): expected "
-                             "to LOSE at this compute-bound 100M scale — "
-                             "its win is the weight-bound >=1B regime "
-                             "(bench_1b.py --decode --quantize)")
+                        help="weight-only int8 (ops/quantize.py): measured "
+                             "1.07x greedy even at this mostly "
+                             "compute-bound 100M scale (69.0k -> 73.9k, "
+                             "2026-08-21); the big win is the weight-bound "
+                             ">=1B regime (bench_1b.py --decode "
+                             "--quantize: 1.48x)")
     parser.add_argument("--only", choices=["greedy", "permute", "lineage"],
                         help="run a single variant (clean per-variant "
                              "profiles under scripts/profile_decode.py)")
