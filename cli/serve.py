@@ -24,6 +24,10 @@ def main(argv=None):
     parser.add_argument("--retriever-url")
     parser.add_argument("--dtype", choices=["float16", "bfloat16", "float32"],
                         help="compute dtype for the served models")
+    parser.add_argument("--quantize", choices=["int8"],
+                        help="weight-only int8 for the served pasero models "
+                             "(ops/quantize.py; halves the weight read that "
+                             "bounds large-model decoding)")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s | %(name)s | %(message)s")
@@ -43,6 +47,8 @@ def main(argv=None):
         path, _, name = spec.partition(":")
         name = name or os.path.basename(os.path.normpath(path))
         kwargs = {"dtype": args.dtype} if args.dtype else {}
+        if args.quantize:
+            kwargs["quantize"] = args.quantize
         models[name] = TextGenerator.build(path, **kwargs)
     serve(models, host=args.host, port=args.port,
           retriever_url=args.retriever_url)
