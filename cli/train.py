@@ -350,12 +350,17 @@ def run_training(cfg):
     patience_left = cfg.patience
     batch_iterator = train_set.endless_iterator() if cfg.max_steps else None
 
-    if cfg.validate_at_start or cfg.only_validate:
-        scores = evaluate(cfg, task, trainer, valid_sets, generator_factory)
-        check_scores(cfg, scores, trainer.step)
-
     start_wall = time.time()
     try:
+        # inside the try/finally: endless_iterator() above already started
+        # the pipeline (and its tokenizer pool), so a validate-at-start
+        # failure (bad corpus, firing expected_scores gate) must still
+        # close the dataset or the pool deadlocks the atexit finalizer
+        if cfg.validate_at_start or cfg.only_validate:
+            scores = evaluate(cfg, task, trainer, valid_sets,
+                              generator_factory)
+            check_scores(cfg, scores, trainer.step)
+
         while trainer.step < cfg.max_steps:
             if pending["signal"] is not None:
                 raise pending["signal"]()

@@ -282,6 +282,7 @@ class DynamicTrainingDataset(TrainingDatasetBase):
 
     QUEUE_SIZE = 16
     MAX_INFLIGHT_PER_WORKER = 128
+    IMAP_CHUNK = 16          # samples per IPC message to/from pool workers
 
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
@@ -317,7 +318,7 @@ class DynamicTrainingDataset(TrainingDatasetBase):
         # floor: the budget must exceed imap's chunk size or the first
         # chunk can never fill and the pipeline deadlocks at startup
         inflight = self._inflight = threading.Semaphore(
-            max(workers * self.MAX_INFLIGHT_PER_WORKER, 2 * 16))
+            max(workers * self.MAX_INFLIGHT_PER_WORKER, 2 * self.IMAP_CHUNK))
 
         def feed():
             # runs on the pool's task-handler thread. The acquire must stay
@@ -334,7 +335,7 @@ class DynamicTrainingDataset(TrainingDatasetBase):
                 yield raw
 
         for sample in self._pool.imap(_worker_preprocess, feed(),
-                                      chunksize=16):
+                                      chunksize=self.IMAP_CHUNK):
             inflight.release()
             if self._count(sample):
                 yield sample

@@ -184,10 +184,11 @@ class TextGenerator:
             # weight-only int8 (ops/quantize.py): the LAST load step, after
             # LoRA merging / placement, so every decode program receives
             # QTensor kernels through the ordinary params plumbing
-            assert self.mesh is None, (
-                "--quantize int8 supports single-device decode (the Pallas "
-                "int8 matmul is not partitioned over a mesh); drop "
-                "--tp-size/--dp-size or the quantize flag")
+            if self.mesh is not None:
+                raise ValueError(
+                    "--quantize int8 supports single-device decode (the "
+                    "Pallas int8 matmul is not partitioned over a mesh); "
+                    "drop --tp-size/--dp-size or the quantize flag")
             from ..ops.quantize import quantize_params, quantized_bytes
             self.params, n_q = quantize_params(self.params)
             self.ensemble_params = [quantize_params(p)[0]

@@ -332,19 +332,7 @@ def _argmax_kernel(x_ref, w_ref, tok_ref, lp_ref, m_scr, l_scr, i_scr,
     s = jax.lax.dot_general(x_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     col = vb * BV + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    sv = jnp.where(col < V, s, NEG_INF)
-
-    m_prev = m_scr[...]
-    bm = jnp.max(sv, axis=-1, keepdims=True)                    # (BN, 1)
-    # first-occurrence argmax without a lane argmax: min col among the maxima
-    bcol = jnp.min(jnp.where(sv == bm, col, jnp.iinfo(jnp.int32).max),
-                   axis=-1, keepdims=True)
-    # strict > keeps the earlier block's hit on ties = jnp.argmax semantics
-    i_scr[...] = jnp.where(bm > m_prev, bcol, i_scr[...])
-    m_new = jnp.maximum(m_prev, bm)
-    l_scr[...] = (l_scr[...] * jnp.exp(m_prev - m_new)
-                  + jnp.sum(jnp.exp(sv - m_new), axis=-1, keepdims=True))
-    m_scr[...] = m_new
+    _online_argmax(s, col, V, m_scr, l_scr, i_scr)
 
     @pl.when(vb == nvb - 1)
     def _finalize():

@@ -66,25 +66,65 @@ def test_int8_matmul_leading_dims_and_bf16():
 
 def test_quantize_params_tree_surgery():
     params = {
-        "layer": {"kernel": jnp.ones((512, 256)), "bias": jnp.zeros((256,))},
-        "tiny": {"kernel": jnp.ones((4, 4))},          # below min_size
-        "norm": {"scale": jnp.ones((512,))},           # wrong name
-        "moe": {"kernel": jnp.ones((2, 512, 256))},    # 3D: skipped
+        "fc1": {"kernel": jnp.ones((512, 256)), "bias": jnp.zeros((256,))},
+        "embed_tokens": {"embedding": jnp.ones((300, 256))},
+        "tiny": {"q_proj": {"kernel": jnp.ones((4, 4))}},   # below min_size
+        "norm": {"scale": jnp.ones((512,))},                # wrong name
+        "moe": {"fc1": {"kernel": jnp.ones((2, 512, 256))}},  # 3D: skipped
+        # QTensor-UNAWARE consumers must be left alone even when the leaf
+        # is named 'kernel'/'embedding': flax LSTM cells (hybrid decoder)
+        # and learned positional tables crash at trace time on a QTensor
+        "lstm": {"hi": {"kernel": jnp.ones((512, 256))}},
+        "embed_positions": {"embedding": jnp.ones((300, 256))},
     }
     qp, n = quantize_params(params, min_size=1024)
-    assert n == 1
-    assert isinstance(qp["layer"]["kernel"], QTensor)
-    assert isinstance(qp["tiny"]["kernel"], jax.Array)
-    assert isinstance(qp["moe"]["kernel"], jax.Array)
+    assert n == 2
+    assert isinstance(qp["fc1"]["kernel"], QTensor)
+    assert isinstance(qp["embed_tokens"]["embedding"], QTensor)
+    assert isinstance(qp["tiny"]["q_proj"]["kernel"], jax.Array)
+    assert isinstance(qp["moe"]["fc1"]["kernel"], jax.Array)
+    assert isinstance(qp["lstm"]["hi"]["kernel"], jax.Array)
+    assert isinstance(qp["embed_positions"]["embedding"], jax.Array)
     # QTensor is pytree-transparent: device_put / tree_map must descend
     moved = jax.device_put(qp)
-    assert isinstance(moved["layer"]["kernel"], QTensor)
+    assert isinstance(moved["fc1"]["kernel"], QTensor)
     qb, fb = quantized_bytes(qp)
-    assert qb == 512 * 256 + 256 * 4
+    assert qb == (512 * 256 + 256 * 4) + (300 * 256 + 300 * 4)
     # a blanket astype map over leaves must not break (astype -> self)
     jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
         qp, is_leaf=lambda x: isinstance(x, QTensor))
+
+
+def test_quantize_pads_odd_dims_and_stays_exact():
+    """NLLB-style vocab (not a multiple of 128): the matmul wrappers pad
+    indivisible dims to block multiples inside the jit so the kernels keep
+    an even block decomposition — the old code silently fell back to a
+    full per-call dequantization."""
+    from pasero_tpu.ops.quantize import embedding_lookup, int8_matmul_t
+    rng = np.random.default_rng(7)
+    V, E = 250, 100                             # both indivisible by 128
+    table = jnp.asarray(rng.normal(size=(V, E)).astype(np.float32))
+    t = quantize(table, axis=1)
+    assert t.q.shape == (V, E) and t.shape == (V, E)
+    x = jnp.asarray(rng.normal(size=(5, E)).astype(np.float32))
+    ref = x @ dequantize(t).T
+    out = int8_matmul_t(x, t)
+    assert out.shape == (5, V)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    ids = jnp.asarray([[0, V - 1, 7]], jnp.int32)
+    np.testing.assert_allclose(
+        np.asarray(embedding_lookup(t, ids, jnp.float32)),
+        np.asarray(jnp.take(dequantize(t), ids, axis=0)), rtol=1e-6,
+        atol=1e-6)
+    # column-quantized odd kernel through the forward orientation
+    w = jnp.asarray(rng.normal(size=(100, 52)).astype(np.float32))
+    t2 = quantize(w, axis=0)
+    x2 = jnp.asarray(rng.normal(size=(3, 100)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(int8_matmul(x2, t2)),
+                               np.asarray(x2 @ dequantize(t2)),
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_linear_uses_qtensor():
@@ -267,6 +307,6 @@ def test_quantized_scoring_close(model_dir, monkeypatch):
 def test_quantize_rejects_mesh(model_dir, monkeypatch):
     monkeypatch.setenv("PASERO_QUANTIZE_MIN_SIZE", "0")
     from pasero_tpu.decoding.generator import TextGenerator
-    with pytest.raises(AssertionError, match="single-device"):
+    with pytest.raises(ValueError, match="single-device"):
         TextGenerator.build(model_dir, dtype="float32", quantize="int8",
                             tp_size=2)
